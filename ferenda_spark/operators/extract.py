@@ -1,0 +1,219 @@
+"""The vectorized decode+parse+extract stage (SURVEY.md §2 S5/S6, P1-P9;
+build plan M1-M3).
+
+One ``mapInPandas`` pass over the ``web_pages`` table turns each url's
+raw html bytes into everything downstream stages need, as flat/nested
+COLUMNS — the Spark re-expression of the reference's per-document
+``parse`` action (documentrepository.py:1100-1123 + decorators.py:279-290):
+
+    web_pages(url, warc_ts, html, text, lang)
+        -> extracted(url, warc_ts, alias, basefile, doc_uri, lang, title,
+                     text, head_meta, rfc_header, sections, citations,
+                     blocks, content_md5, n_chars, parse_ok, error)
+
+Scale notes:
+- the stage is a narrow map — NO shuffle; upstream ``repartition`` by
+  url hash only when input files are skewed in size (pipeline.py).
+- Arrow batches bound memory (spark.sql.execution.arrow.maxRecordsPerBatch);
+  per-document Python (html parse, FSM) runs batched inside the UDF,
+  never as row-at-a-time driver-dispatched UDF calls.
+- errors never kill the job: a failed parse yields parse_ok=false +
+  error message (quarantine row), preserving lineage per north_rule.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ferenda_spark import htmlparse as hp
+from ferenda_spark.operators.citations import find_citations
+from ferenda_spark.operators.fsm import rfc_structure, w3c_structure
+from ferenda_spark.sources import DEFAULT_REPO, REPOS
+from ferenda_spark.sources.rfc_header import parse_rfc_header
+
+# url -> (alias, basefile): inverse of canonical_uri
+# (documentrepository.py:598-674 basefile_from_uri)
+_URI_RE = re.compile(r"^https?://[^/]+/res/([^/]+)/(.+?)(?:#.*)?$")
+
+SECTION_T = T.StructType([
+    T.StructField("kind", T.StringType()),
+    T.StructField("ordinal", T.StringType()),
+    T.StructField("title", T.StringType()),
+    T.StructField("parent_ordinal", T.StringType()),
+    T.StructField("text", T.StringType()),
+])
+
+CITATION_T = T.StructType([
+    T.StructField("section_ordinal", T.StringType()),
+    T.StructField("span", T.StringType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("url", T.StringType()),
+    T.StructField("rfcnum", T.StringType()),
+    T.StructField("secref", T.StringType()),
+])
+
+RFC_HEADER_T = T.StructType([
+    T.StructField("publisher", T.StringType()),
+    T.StructField("identifier", T.StringType()),
+    T.StructField("category", T.StringType()),
+    T.StructField("issn", T.StringType()),
+    T.StructField("issued", T.StringType()),
+    T.StructField("creators", T.ArrayType(T.StringType())),
+    T.StructField("rightsholders", T.ArrayType(T.StringType())),
+    T.StructField("updates", T.ArrayType(T.StringType())),
+    T.StructField("obsoletes", T.ArrayType(T.StringType())),
+])
+
+BLOCK_T = T.StructType([
+    T.StructField("path", T.StringType()),
+    T.StructField("tag", T.StringType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("attrs", T.MapType(T.StringType(), T.StringType())),
+])
+
+EXTRACTED_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("warc_ts", T.TimestampType()),
+    T.StructField("alias", T.StringType()),
+    T.StructField("basefile", T.StringType()),
+    T.StructField("doc_uri", T.StringType()),
+    T.StructField("lang", T.StringType()),
+    T.StructField("title", T.StringType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("head_meta", T.MapType(T.StringType(), T.StringType())),
+    T.StructField("rfc_header", RFC_HEADER_T),
+    T.StructField("sections", T.ArrayType(SECTION_T)),
+    T.StructField("citations", T.ArrayType(CITATION_T)),
+    T.StructField("blocks", T.ArrayType(BLOCK_T)),
+    T.StructField("content_md5", T.StringType()),
+    T.StructField("n_chars", T.IntegerType()),
+    T.StructField("parse_ok", T.BooleanType()),
+    T.StructField("error", T.StringType()),
+])
+
+
+def url_to_repo(url: str) -> tuple[str, str]:
+    m = _URI_RE.match(url)
+    if m and m.group(1) in REPOS:
+        return m.group(1), m.group(2)
+    return "base", url.rsplit("/", 1)[-1] or url
+
+
+def _rfc_paragraphs(pre_text: str) -> tuple[str, str | None, list[str]]:
+    """(header, title, body paragraphs) from RFC-style <pre> text —
+    TextReader.readparagraph semantics, split on blank lines
+    (textreader.py:159-172)."""
+    paras = [p for p in re.split(r"\n\s*\n", pre_text) if p.strip()]
+    header = paras[0] if paras else ""
+    title = paras[1].strip() if len(paras) > 1 else None
+    return header, title, paras[2:] if len(paras) > 2 else []
+
+
+def extract_one(url: str, html: bytes) -> dict:
+    """Per-document kernel.  Pure function; unit-testable without Spark."""
+    alias, basefile = url_to_repo(url)
+    repo = REPOS.get(alias, DEFAULT_REPO)
+    decoded = hp.decode_html(html)
+    raw = hp.parse_html(decoded)
+
+    lang = hp.doc_lang(raw, repo["lang"])
+    title = hp.doc_title(raw)
+    meta = hp.head_meta(raw)
+
+    content = hp.content_select(raw, repo["content_selector"],
+                                repo["filter_selectors"])
+    if content is None:
+        raise ValueError(f"content selector {repo['content_selector']!r} "
+                         f"matched nothing")
+    cleaned = hp.clean_tree(content)
+    text = hp.as_plaintext(cleaned)
+    blocks = hp.blocks(cleaned)
+
+    sections: list[dict] = []
+    citations: list[dict] = []
+    rfc_header = None
+
+    if repo["structure"] == "rfc":
+        pre = hp.find_first(cleaned, "pre")
+        if pre is not None:
+            pre_text = "".join(c for c in pre.children if isinstance(c, str))
+            header, rfc_title, body_paras = _rfc_paragraphs(pre_text)
+            rfc_header = parse_rfc_header(header)
+            if rfc_title:
+                title = hp.normalize_space(rfc_title)
+            sections = rfc_structure(body_paras)
+    elif repo["structure"] == "w3c":
+        chunks = [
+            (c.tag, hp.as_plaintext(c))
+            for c in cleaned.children
+            if isinstance(c, hp.Node)
+        ]
+        sections = w3c_structure(chunks)
+
+    # citations: per-section text when structure exists, else whole doc
+    if sections:
+        for s in sections:
+            for c in find_citations(hp.normalize_space(s["text"])):
+                citations.append({"section_ordinal": s["ordinal"], **c})
+    else:
+        for c in find_citations(text):
+            citations.append({"section_ordinal": None, **c})
+
+    return {
+        "alias": alias,
+        "basefile": basefile,
+        "doc_uri": url.split("#")[0],
+        "lang": lang,
+        "title": title,
+        "text": text,
+        "head_meta": meta,
+        "rfc_header": rfc_header,
+        "sections": sections,
+        "citations": citations,
+        "blocks": blocks,
+    }
+
+
+def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = []
+        for url, warc_ts, html in zip(pdf["url"], pdf["warc_ts"], pdf["html"]):
+            data = bytes(html) if html is not None else b""
+            row = {
+                "url": url, "warc_ts": warc_ts,
+                "content_md5": hashlib.md5(data).hexdigest(),
+                "parse_ok": True, "error": None,
+            }
+            try:
+                row.update(extract_one(url, data))
+            except Exception as e:  # quarantine, never fail the batch
+                alias, basefile = url_to_repo(url)
+                row.update({
+                    "alias": alias, "basefile": basefile,
+                    "doc_uri": url, "lang": None, "title": None,
+                    "text": None, "head_meta": {}, "rfc_header": None,
+                    "sections": [], "citations": [], "blocks": [],
+                    "parse_ok": False, "error": f"{type(e).__name__}: {e}",
+                })
+            row["n_chars"] = len(row["text"]) if row["text"] else 0
+            out.append(row)
+        yield pd.DataFrame(out, columns=[f.name for f in EXTRACTED_SCHEMA.fields])
+
+
+def extract(web_pages: DataFrame) -> DataFrame:
+    """web_pages -> extracted.  Narrow map; no shuffle."""
+    cols = ["url", "warc_ts", "html"]
+    return web_pages.select(*cols).mapInPandas(_extract_batches, EXTRACTED_SCHEMA)
+
+
+def with_repartition(web_pages: DataFrame, partitions: int) -> DataFrame:
+    """Optional explicit pre-UDF repartition by url hash for uniform batch
+    cost when input file sizes are skewed (SURVEY.md §4)."""
+    return web_pages.repartition(partitions, F.col("url"))

@@ -1,0 +1,52 @@
+"""SparkSession factory tuned for the KG-construction workload.
+
+Scale notes (the settings matter at 100 TB, not on local[32]):
+- AQE on: runtime coalesce + skew-join splitting.  Predicate frequency in
+  the triple table is Zipfian (rdf:type, dcterms:isPartOf dominate) and
+  entity labels are hot (one publisher on ~60%% of docs), so skew handling
+  is load-bearing, cf. SURVEY.md §4.
+- Arrow enabled: every per-document Python stage is an Arrow-batched
+  pandas UDF (zero per-row Python, BASELINE.json input_hint).
+- shuffle.partitions default 32 locally; on a real cluster set it to
+  ~2-3x total cores (or rely on AQE coalesce from a higher initial value).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "ferenda_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``cores`` defaults to $SPARK_GRAFT_CPUS or all local cores.  On a real
+    cluster this function is irrelevant past the conf defaults — the job is
+    submitted via ``spark-submit --py-files ferenda_spark.zip``.
+    """
+    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    shuffle_partitions = shuffle_partitions or max(cores, 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,96 @@
+"""Golden-fixture tests for the per-document extract kernel, pure Python
+(no Spark): byte-identical text + structure/citations/header parity.
+Expected values come from synthesis parameters (fixtures/webpages.py),
+never from the extractor itself — mirroring the reference's
+distill-test harness (testutil.py:637-708)."""
+
+import pytest
+
+from ferenda_spark.fixtures.webpages import gen_rows
+from ferenda_spark.operators.citations import find_citations
+from ferenda_spark.operators.extract import extract_one, url_to_repo
+from ferenda_spark.operators.fsm import rfc_structure, w3c_structure
+from ferenda_spark.sources.rfc_header import parse_rfc_header
+
+ROWS = gen_rows(60)
+
+
+@pytest.mark.parametrize("row", ROWS, ids=[r["url"].rsplit("/", 2)[-2] + "-" + r["url"].rsplit("/", 1)[-1] for r in ROWS])
+def test_text_byte_identical(row):
+    got = extract_one(row["url"], row["html"])
+    assert got["text"] == row["golden"]["text"]
+
+
+def test_url_to_repo():
+    assert url_to_repo("http://localhost:8000/res/rfc/1234") == ("rfc", "1234")
+    assert url_to_repo("http://localhost:8000/res/base/123/a") == ("base", "123/a")
+
+
+def test_titles_and_lang():
+    for row in ROWS:
+        got = extract_one(row["url"], row["html"])
+        assert got["title"] == row["golden"]["title"], row["url"]
+        assert got["lang"] == row["golden"]["lang"], row["url"]
+
+
+def test_citation_spans_match_golden():
+    for row in ROWS:
+        got = extract_one(row["url"], row["html"])
+        got_spans = {(c["span"]) for c in got["citations"]}
+        for g in row["golden"]["citations"]:
+            assert g["span"] in got_spans, (row["url"], g, got["citations"])
+
+
+def test_rfc_header_parse():
+    h = ("Network Working Group                         J. Smith\n"
+         "Request for Comments: 2616                    Acme Networks\n"
+         "Category: Standards Track                     June 1999\n"
+         "ISSN: 2070-1721\n"
+         "Updates: 2068, 2069")
+    out = parse_rfc_header(h)
+    assert out["publisher"] == "Network Working Group"
+    assert out["identifier"] == "RFC 2616"
+    assert out["category"] == "Standards Track"
+    assert out["issn"] == "2070-1721"
+    assert out["issued"] == "1999-06"
+    assert out["creators"] == ["J. Smith"]
+    assert out["rightsholders"] == ["Acme Networks"]
+    assert out["updates"] == ["2068", "2069"]
+
+
+def test_rfc_structure_nesting():
+    paras = ["1.  Intro", "   text a", "1.1.  Scope", "   text b",
+             "2.  Next", "   text c"]
+    rows = rfc_structure(paras)
+    assert [(r["ordinal"], r["kind"], r["parent_ordinal"]) for r in rows] == [
+        ("1", "section", None), ("1.1", "subsection", "1"),
+        ("2", "section", None)]
+    assert rows[0]["title"] == "Intro"
+
+
+def test_w3c_structure_preamble_and_nesting():
+    chunks = [("h1", "My Spec"), ("h2", "Abstract"), ("p", "abs text"),
+              ("h2", "1 Introduction"), ("p", "body"),
+              ("h3", "1.1 Scope"), ("p", "scope text"),
+              ("h2", "2 Conformance"), ("p", "conf")]
+    rows = w3c_structure(chunks)
+    assert [(r["ordinal"], r["kind"], r["parent_ordinal"]) for r in rows] == [
+        ("PS1", "preamblesection", None),
+        ("1", "section", None), ("1.1", "subsection", "1"),
+        ("2", "section", None)]
+    assert rows[0]["title"] == "Abstract"
+    assert rows[0]["text"] == "abs text"
+
+
+def test_citation_patterns():
+    cs = find_citations(
+        "See RFC 2616 and section 2 of [RFC 5741], or "
+        "http://example.org/x?q=1#f, and (http://a.b/c)."
+    )
+    by_kind = {}
+    for c in cs:
+        by_kind.setdefault(c["kind"], []).append(c)
+    assert {(c["rfcnum"], c["secref"]) for c in by_kind["rfc"]} == {
+        ("2616", None), ("5741", "2")}
+    assert {c["url"] for c in by_kind["url"]} == {
+        "http://example.org/x?q=1#f", "http://a.b/c"}
