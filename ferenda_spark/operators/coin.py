@@ -1,0 +1,118 @@
+"""COIN URI minting as a pure columnar function (SURVEY.md §2 C7).
+
+The reference's coin.py (/root/reference/ferenda/thirdparty/coin.py:14-229)
+mints deterministic URIs from RDF property values via an ordered list of
+templates.  Semantics reproduced:
+
+- template order: (priority desc, has-forType first, #bindings desc)
+  (coin.py:39-40);
+- a template matches iff its ``forType`` (when set) equals the row's
+  rdf:type AND every binding variable has a non-null value
+  (coin.py:127-142);
+- each bound value passes the slug transform: lowercase -> char
+  replacements -> whitespace -> space_replacement (default '+') ->
+  strip pattern (coin.py:60-91);
+- ``{var}`` substitution into uriTemplate / fragmentTemplate, with
+  ``{+base}`` expanding un-encoded (coin.py:144-174).
+
+Because the template set is small static config, the whole dispatch
+compiles to ONE ordered ``when()`` chain of string expressions —
+no UDF, no shuffle, fully inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class SlugTransform:
+    """coin.py:60-91 defaults."""
+    to_lower: bool = True
+    replace: tuple = ()          # ((from_char, to_char), ...)
+    space_repl: str = "+"
+    strip_pattern: str = ""      # regex of chars to remove
+
+    def apply(self, col: Column) -> Column:
+        out = F.lower(col) if self.to_lower else col
+        for a, b in self.replace:
+            out = F.replace(out, F.lit(a), F.lit(b))
+        out = F.regexp_replace(out, r"\s+", self.space_repl.replace("\\", "\\\\"))
+        if self.strip_pattern:
+            out = F.regexp_replace(out, self.strip_pattern, "")
+        return out
+
+    def apply_py(self, value: str) -> str:
+        """Pure-Python twin, used by fixture/golden generation and tests."""
+        out = value.lower() if self.to_lower else value
+        for a, b in self.replace:
+            out = out.replace(a, b)
+        out = re.sub(r"\s+", self.space_repl, out)
+        if self.strip_pattern:
+            out = re.sub(self.strip_pattern, "", out)
+        return out
+
+
+@dataclass(frozen=True)
+class CoinTemplate:
+    uri_template: str                      # may contain {+base} and {var}
+    bindings: tuple = ()                   # variable names that must bind
+    for_type: str | None = None            # rdf:type guard
+    priority: int = 0
+    fragment_template: str | None = None   # appended as '#' + template
+    slug: SlugTransform = field(default_factory=SlugTransform)
+
+
+_VAR_RE = re.compile(r"\{(\+?[A-Za-z_][A-Za-z0-9_]*)\}")
+
+
+def _template_order(t: CoinTemplate):
+    # coin.py:39-40: sorted(templates, key=..., reverse=True) on
+    # (priority, bool(forType), len(bindings))
+    return (t.priority, t.for_type is not None, len(t.bindings))
+
+
+def _render(template: str, base: str, cols: dict[str, Column],
+            slug: SlugTransform) -> Column:
+    parts: list[Column] = []
+    pos = 0
+    for m in _VAR_RE.finditer(template):
+        if m.start() > pos:
+            parts.append(F.lit(template[pos:m.start()]))
+        var = m.group(1)
+        if var == "+base":
+            parts.append(F.lit(base))
+        else:
+            parts.append(slug.apply(cols[var].cast("string")))
+        pos = m.end()
+    if pos < len(template):
+        parts.append(F.lit(template[pos:]))
+    if not parts:
+        return F.lit("")
+    return F.concat(*parts)
+
+
+def compile_coin(templates: list[CoinTemplate], base: str,
+                 cols: dict[str, Column],
+                 rdf_type: Column | None = None) -> Column:
+    """Ordered when()-chain minting a URI column; null when no template
+    matches (the reference raises — callers quarantine instead)."""
+    ordered = sorted(templates, key=_template_order, reverse=True)
+    result: Column | None = None
+    for t in ordered:
+        cond = F.lit(True)
+        for var in t.bindings:
+            cond = cond & cols[var].isNotNull()
+        if t.for_type is not None:
+            guard = rdf_type if rdf_type is not None else F.lit(None)
+            cond = cond & (guard == F.lit(t.for_type))
+        uri = _render(t.uri_template, base, cols, t.slug)
+        if t.fragment_template:
+            frag = _render(t.fragment_template, base, cols, t.slug)
+            uri = F.concat(uri, F.lit("#"), frag)
+        result = F.when(cond, uri) if result is None else result.when(cond, uri)
+    return result if result is not None else F.lit(None).cast("string")

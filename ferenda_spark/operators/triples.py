@@ -1,0 +1,272 @@
+"""Metadata lift: extracted -> triples (SURVEY.md §2 P1, P8, P9, C2/C3;
+build plan M2-M4).
+
+Emits the engine's triple schema
+    (url, subj, pred, obj, obj_is_uri, obj_lang, obj_datatype)
+from the ``extracted`` table with PURE column expressions — the union of
+these branches IS the reference's "distilled" per-document graph
+(decorators.py:161-187), verified against golden fixtures.
+
+Branches (all narrow maps or broadcast joins — zero shuffles besides the
+broadcast exchange):
+  1. doc-level scalars   (parse_metadata_from_soup, documentrepository.py:1182-1222)
+  2. RFC header values   (rfc.py:549-634) incl. creators/rightsholders
+  3. publisher/category label->URI entity linking (J1 broadcast join,
+     lookup_resource documentrepository.py:439-485)
+  4. updates/obsoletes -> COIN-minted URIs (rfc.py:592-600)
+  5. sections -> fragment URIs + DocumentPart triples (P9,
+     w3c.py:290-303 decorate_bodyparts)
+  6. citations -> dcterms:references (C2, citationparser.py:98-165)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ferenda_spark import ns
+from ferenda_spark.operators.coin import CoinTemplate, compile_coin
+from ferenda_spark.sources import REPOS
+
+TRIPLES_COLS = ["url", "subj", "pred", "obj", "obj_is_uri", "obj_lang",
+                "obj_datatype"]
+
+BASE_URL = "http://localhost:8000/"
+
+# COIN templates for the rfc URI space (C7): section-qualified reference
+# outranks the bare document reference (more bindings -> earlier,
+# coin.py:39-40)
+RFC_COIN_TEMPLATES = [
+    CoinTemplate(uri_template="{+base}res/rfc/{rfcnum}",
+                 bindings=("rfcnum",)),
+    CoinTemplate(uri_template="{+base}res/rfc/{rfcnum}",
+                 fragment_template="S{secref}",
+                 bindings=("rfcnum", "secref")),
+]
+
+# recognized RDFa-ish head <meta property=...> keys -> (pred, datatype)
+KNOWN_HEAD_META = {
+    "dcterms:issued": (ns.DCT_ISSUED, ns.XSD_DATE),
+    "dcterms:creator": (ns.DCT_CREATOR, None),
+    "dcterms:subject": (ns.DCT_SUBJECT, None),
+}
+
+
+def _alias_case(mapping: dict[str, str]) -> Column:
+    """alias -> constant, as a when() chain over the repo config."""
+    out = None
+    for alias, val in mapping.items():
+        cond = F.col("alias") == alias
+        out = F.when(cond, val) if out is None else out.when(cond, val)
+    return out
+
+
+def _ts(subj, pred, obj, is_uri=False, lang=None, datatype=None) -> Column:
+    def c(x, name):
+        col = x if isinstance(x, Column) else F.lit(x)
+        return col.cast("string").alias(name)
+
+    return F.struct(
+        c(subj, "subj"), c(pred, "pred"), c(obj, "obj"),
+        (is_uri if isinstance(is_uri, Column) else F.lit(is_uri))
+        .cast("boolean").alias("obj_is_uri"),
+        c(lang, "obj_lang"), c(datatype, "obj_datatype"),
+    )
+
+
+def _emit(df: DataFrame, triple_structs: list[Column]) -> DataFrame:
+    """array(structs) -> explode -> drop null-object rows -> flat cols."""
+    return (
+        df.select("url", F.explode(F.array(*triple_structs)).alias("t"))
+        .where(F.col("t.obj").isNotNull())
+        .select("url", "t.subj", "t.pred", "t.obj", "t.obj_is_uri",
+                "t.obj_lang", "t.obj_datatype")
+    )
+
+
+def _frag(ordinal: Column) -> Column:
+    """'1.1' -> 'S1.1', 'PS2' -> 'PS2' (elements.py:595-596 / FIXTURES §4)."""
+    return F.when(ordinal.startswith("PS"), ordinal).otherwise(
+        F.concat(F.lit("S"), ordinal))
+
+
+def doc_scalar_triples(extracted: DataFrame) -> DataFrame:
+    """Branch 1+2: everything derivable from one row without joins."""
+    e = extracted.where("parse_ok")
+    rdf_type = _alias_case({a: r["rdf_type"] for a, r in REPOS.items()})
+    classname = _alias_case({a: r["classname"] for a, r in REPOS.items()})
+    h = F.col("rfc_header")
+    # default identifier = basefile; the RFC repo's header parse overrides
+    # it with "RFC N" (rfc.py:578-582 replaces the default lift)
+    identifier = F.coalesce(h["identifier"], F.col("basefile"))
+    structs = [
+        _ts(F.col("doc_uri"), ns.RDF_TYPE, rdf_type, True),
+        _ts(F.col("doc_uri"), ns.DCT_TITLE, F.col("title"),
+            lang=F.col("lang")),
+        _ts(F.col("doc_uri"), ns.DCT_IDENTIFIER, identifier),
+        _ts(F.col("doc_uri"), ns.PROV_WASGENERATEDBY, classname),
+        _ts(F.col("doc_uri"), ns.DCT_ISSN, h["issn"]),
+        _ts(F.col("doc_uri"), ns.DCT_ISSUED, h["issued"],
+            datatype=ns.XSD_GYEARMONTH),
+    ]
+    for key, (pred, dtype) in KNOWN_HEAD_META.items():
+        structs.append(
+            _ts(F.col("doc_uri"), pred, F.col("head_meta").getItem(key),
+                datatype=dtype))
+    base = _emit(e, structs)
+
+    people = e.select(
+        "url", "doc_uri",
+        F.explode(
+            F.concat(
+                F.coalesce(
+                    F.transform(h["creators"],
+                                lambda c: F.struct(F.lit(ns.DCT_CREATOR)
+                                                   .alias("pred"),
+                                                   c.alias("obj"))),
+                    F.array()),
+                F.coalesce(
+                    F.transform(h["rightsholders"],
+                                lambda c: F.struct(F.lit(ns.DCT_RIGHTSHOLDER)
+                                                   .alias("pred"),
+                                                   c.alias("obj"))),
+                    F.array()),
+            )
+        ).alias("po"),
+    ).select(
+        "url", F.col("doc_uri").alias("subj"), "po.pred", "po.obj",
+        F.lit(False).alias("obj_is_uri"),
+        F.lit(None).cast("string").alias("obj_lang"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+    )
+    return base.unionByName(people)
+
+
+def label_link_triples(extracted: DataFrame, commondata: DataFrame) -> DataFrame:
+    """Branch 3 (J1): publisher (foaf:name) and category (bibo:identifier)
+    label->URI lookup as a BROADCAST hash join; unmatched labels fall back
+    to a plain literal (documentrepository.py:439-485 KeyError branch,
+    rfc.py:557-589).  Broadcasting the (tiny) dictionary makes the Zipfian
+    label skew a non-issue — no shuffle on the hot key at all; see
+    canonicalize.salted_join for the big-dictionary path."""
+    e = extracted.where("parse_ok")
+    out = None
+    for field, lookup_pred, pred in [
+        ("publisher", ns.FOAF_NAME, ns.DCT_PUBLISHER),
+        ("category", ns.BIBO_IDENTIFIER, ns.DCT_SUBJECT),
+    ]:
+        dim = (commondata.where(F.col("pred") == lookup_pred)
+               .select(F.col("label"), F.col("uri").alias("ent_uri")))
+        branch = (
+            e.select("url", "doc_uri",
+                     F.col("rfc_header")[field].alias("label"))
+            .where(F.col("label").isNotNull())
+            .join(F.broadcast(dim), "label", "left")
+            .select(
+                "url", F.col("doc_uri").alias("subj"), F.lit(pred).alias("pred"),
+                F.coalesce("ent_uri", "label").alias("obj"),
+                F.col("ent_uri").isNotNull().alias("obj_is_uri"),
+                F.lit(None).cast("string").alias("obj_lang"),
+                F.lit(None).cast("string").alias("obj_datatype"),
+            )
+        )
+        out = branch if out is None else out.unionByName(branch)
+    return out
+
+
+def updates_obsoletes_triples(extracted: DataFrame) -> DataFrame:
+    """Branch 4: rfc:updates / rfc:obsoletes with COIN-minted targets."""
+    e = extracted.where("parse_ok")
+    h = F.col("rfc_header")
+    po = e.select(
+        "url", "doc_uri",
+        F.explode(
+            F.concat(
+                F.coalesce(F.transform(
+                    h["updates"],
+                    lambda x: F.struct(F.lit(ns.RFC_UPDATES).alias("pred"),
+                                       x.alias("num"))), F.array()),
+                F.coalesce(F.transform(
+                    h["obsoletes"],
+                    lambda x: F.struct(F.lit(ns.RFC_OBSOLETES).alias("pred"),
+                                       x.alias("num"))), F.array()),
+            )
+        ).alias("po"),
+    )
+    minted = compile_coin(
+        RFC_COIN_TEMPLATES, BASE_URL,
+        {"rfcnum": F.col("po.num"), "secref": F.lit(None).cast("string")},
+    )
+    return po.select(
+        "url", F.col("doc_uri").alias("subj"), F.col("po.pred").alias("pred"),
+        minted.alias("obj"), F.lit(True).alias("obj_is_uri"),
+        F.lit(None).cast("string").alias("obj_lang"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+    )
+
+
+def section_triples(extracted: DataFrame) -> DataFrame:
+    """Branch 5 (P9): fragment URIs + DocumentPart/title/isPartOf/chapter."""
+    e = extracted.where("parse_ok")
+    s = (e.select("url", "doc_uri", "lang", F.explode("sections").alias("s"))
+         .select("url", "doc_uri", "lang", "s.*"))
+    subj = F.concat(F.col("doc_uri"), F.lit("#"), _frag(F.col("ordinal")))
+    parent = F.when(
+        F.col("parent_ordinal").isNull(), F.col("doc_uri")
+    ).otherwise(F.concat(F.col("doc_uri"), F.lit("#"),
+                         _frag(F.col("parent_ordinal"))))
+    chapter = F.when(~F.col("ordinal").startswith("PS"), F.col("ordinal"))
+    return _emit(
+        s.withColumn("subj0", subj).withColumn("parent0", parent),
+        [
+            _ts(F.col("subj0"), ns.RDF_TYPE, ns.BIBO_DOCUMENTPART, True),
+            _ts(F.col("subj0"), ns.DCT_TITLE, F.col("title"),
+                lang=F.col("lang")),
+            _ts(F.col("subj0"), ns.DCT_ISPARTOF, F.col("parent0"), True),
+            _ts(F.col("subj0"), ns.BIBO_CHAPTER, chapter),
+        ],
+    )
+
+
+def citation_triples(extracted: DataFrame) -> DataFrame:
+    """Branch 6 (C2/C3): spans -> dcterms:references with COIN-minted or
+    literal-URL targets; subject is the enclosing section (or the doc)."""
+    e = extracted.where("parse_ok")
+    c = (e.select("url", "doc_uri", F.explode("citations").alias("c"))
+         .select("url", "doc_uri", F.col("c.section_ordinal").alias("section_ordinal"),
+                 F.col("c.kind").alias("kind"), F.col("c.url").alias("cited_url"),
+                 F.col("c.rfcnum").alias("rfcnum"), F.col("c.secref").alias("secref")))
+    subj = F.when(
+        F.col("section_ordinal").isNull(), F.col("doc_uri")
+    ).otherwise(F.concat(F.col("doc_uri"), F.lit("#"),
+                         _frag(F.col("section_ordinal"))))
+    minted = compile_coin(
+        RFC_COIN_TEMPLATES, BASE_URL,
+        {"rfcnum": F.col("rfcnum"), "secref": F.col("secref")},
+    )
+    obj = F.when(F.col("kind") == "url", F.col("cited_url")).otherwise(minted)
+    return (
+        c.select(
+            "url", subj.alias("subj"),
+            F.lit(ns.DCT_REFERENCES).alias("pred"), obj.alias("obj"),
+            F.lit(True).alias("obj_is_uri"),
+            F.lit(None).cast("string").alias("obj_lang"),
+            F.lit(None).cast("string").alias("obj_datatype"),
+        )
+        .where(F.col("obj").isNotNull())
+        .dropDuplicates(["url", "subj", "pred", "obj"])
+    )
+
+
+def all_triples(extracted: DataFrame, commondata: DataFrame) -> DataFrame:
+    """The full distilled graph.  Callers should persist ``extracted``
+    first (pipeline.py does) so the six branches share one scan."""
+    return (
+        doc_scalar_triples(extracted)
+        .unionByName(label_link_triples(extracted, commondata))
+        .unionByName(updates_obsoletes_triples(extracted))
+        .unionByName(section_triples(extracted))
+        .unionByName(citation_triples(extracted))
+        .dropDuplicates(["url", "subj", "pred", "obj", "obj_lang",
+                         "obj_datatype"])
+    )

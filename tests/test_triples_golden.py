@@ -1,0 +1,67 @@
+"""End-to-end Spark gate: web_pages -> extract -> triples, compared
+against golden fixtures (FIXTURES.md §3/§4).  This mirrors the
+reference's distill regression (testutil.py:637-708): recall = want ⊆
+got (assertEqualGraphs exact=False), precision = the symmetric check.
+Target P/R >= 0.95 (BASELINE.json); these fixtures are built to hit 1.0.
+"""
+
+import pytest
+
+from ferenda_spark.fixtures.webpages import (
+    commondata_df, golden_text_df, golden_triples_df, web_pages_df)
+from ferenda_spark.operators.extract import extract
+from ferenda_spark.operators.triples import all_triples
+
+N = 40
+
+KEY = ["url", "subj", "pred", "obj", "obj_is_uri", "obj_lang", "obj_datatype"]
+
+
+@pytest.fixture(scope="module")
+def extracted(spark):
+    df = extract(web_pages_df(spark, N)).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_all_rows_parse_ok(extracted):
+    bad = extracted.where("not parse_ok").select("url", "error").collect()
+    assert not bad, bad
+
+
+def test_spark_text_byte_identical(spark, extracted):
+    want = golden_text_df(spark, N)
+    got = extracted.select("url", "text")
+    mismatches = (
+        got.alias("g").join(want.alias("w"), "url")
+        .where("g.text IS DISTINCT FROM w.text")
+        .select("url", "g.text", "w.text").collect()
+    )
+    assert not mismatches, mismatches[:3]
+    assert got.count() == want.count() == N
+
+
+def test_triples_precision_recall(spark, extracted):
+    got = all_triples(extracted, commondata_df(spark)).select(*KEY)
+    want = golden_triples_df(spark, N).select(*KEY)
+    n_got, n_want = got.count(), want.count()
+    n_hit = got.intersect(want).count()
+    precision = n_hit / n_got
+    recall = n_hit / n_want
+    if precision < 1.0 or recall < 1.0:
+        print("MISSING (want - got):")
+        for r in want.exceptAll(got).limit(12).collect():
+            print("  ", r)
+        print("EXTRA (got - want):")
+        for r in got.exceptAll(want).limit(12).collect():
+            print("  ", r)
+    assert precision >= 0.95, f"precision {precision:.3f} ({n_hit}/{n_got})"
+    assert recall >= 0.95, f"recall {recall:.3f} ({n_hit}/{n_want})"
+
+
+def test_triples_schema_invariants(spark, extracted):
+    t = all_triples(extracted, commondata_df(spark))
+    assert t.where("subj IS NULL OR pred IS NULL OR obj IS NULL").count() == 0
+    # every URI object either matches a scheme or is a fragment of one
+    assert t.where("obj_is_uri AND obj NOT RLIKE '^(https?|ftp)://'").count() == 0
