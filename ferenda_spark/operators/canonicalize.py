@@ -1,0 +1,131 @@
+"""Entity canonicalization & cross-document joins (SURVEY.md §2 J1-J5).
+
+- lookup_labels: J1 label->URI entity linking (broadcast; salted variant
+  for dictionaries too big to broadcast) — reference lookup_resource
+  (/root/reference/ferenda/documentrepository.py:439-485)
+- dependency_join: J2 — which documents reference which
+  (relate_dependencies, documentrepository.py:1889-1926)
+- skeleton_entities: J4 — URIs referenced but never described
+  (sources/general/skeleton.py:16-142)
+- annotation_closure: J3 — transitive isPartOf closure + inbound
+  references (construct_annotations, documentrepository.py:2471-2502,
+  res/sparql/annotations.rq)
+
+Scale notes: the dictionary side of J1 is small => broadcast hash join,
+which is immune to Zipfian label skew (no shuffle of the fact side's hot
+key).  When the dictionary outgrows the broadcast threshold, use
+``salted_join``: explode the dim side SALT ways, salt the fact side with
+pmod(hash(row), SALT) — bounded skew without AQE's per-partition limits.
+J2 is a self-join of the triple table on URI keys: shuffle hash join on
+(obj = subj-prefix) with AQE skew splitting enabled (session.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ferenda_spark import ns
+
+
+def lookup_labels(facts: DataFrame, commondata: DataFrame,
+                  label_col: str = "label",
+                  lookup_pred: str = ns.FOAF_NAME) -> DataFrame:
+    """J1: resolve facts[label_col] to entity URIs; adds ``ent_uri``
+    (null when unmatched -> caller falls back to the literal)."""
+    dim = (commondata.where(F.col("pred") == lookup_pred)
+           .select(F.col("label").alias(label_col),
+                   F.col("uri").alias("ent_uri")))
+    return facts.join(F.broadcast(dim), label_col, "left")
+
+
+def salted_join(facts: DataFrame, dim: DataFrame, key: str,
+                salt: int = 16, how: str = "left") -> DataFrame:
+    """Skew-safe equi-join for a dim side too large to broadcast: the dim
+    rows are replicated ``salt`` ways, facts are salted deterministically,
+    so one hot key spreads over ``salt`` reducers (SURVEY.md §4)."""
+    salted_dim = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+    salted_facts = facts.withColumn(
+        "_salt", F.pmod(F.hash(F.struct(*facts.columns)), F.lit(salt)))
+    out = salted_facts.join(salted_dim, [key, "_salt"], how)
+    return out.drop("_salt")
+
+
+def dependency_join(triples: DataFrame) -> DataFrame:
+    """J2: dependencies(from_url, to_url) — every URI object that is the
+    subject (or subject-document) of some OTHER document.  The reference
+    probes each repo's basefile_from_uri per object URI in a Python loop
+    (documentrepository.py:1889-1926); here it is one self-join.
+
+    Excludes rdf:type / owl:sameAs objects like the reference does."""
+    objs = (
+        triples.where("obj_is_uri")
+        .where(~F.col("pred").isin(ns.RDF_TYPE, ns.term("owl", "sameAs")))
+        # fragment citations point at a *part*; the dependency is on the
+        # whole target document (split off '#...')
+        .select(F.col("url").alias("from_url"),
+                F.split(F.col("obj"), "#")[0].alias("target_doc"))
+    )
+    docs = triples.select(F.col("url").alias("to_url")).distinct()
+    return (
+        objs.join(docs, objs.target_doc == docs.to_url, "inner")
+        .where(F.col("from_url") != F.col("to_url"))
+        .select("from_url", "to_url")
+        .dropDuplicates()
+    )
+
+
+def skeleton_entities(triples: DataFrame) -> DataFrame:
+    """J4: referenced-but-never-described URIs -> stub rows
+    (left ANTI join, skeleton.py:16-142)."""
+    referenced = (
+        triples.where("obj_is_uri")
+        .where(F.col("pred") != ns.RDF_TYPE)
+        .select(F.split(F.col("obj"), "#")[0].alias("uri"))
+        .distinct()
+    )
+    described = triples.select(F.col("subj").alias("uri")).distinct()
+    return (
+        referenced.join(described, "uri", "left_anti")
+        .select(
+            F.col("uri").alias("subj"),
+            F.lit(ns.RDF_TYPE).alias("pred"),
+            F.lit(ns.FOAF_DOCUMENT).alias("obj"),
+            F.lit(True).alias("obj_is_uri"),
+            F.lit(None).cast("string").alias("obj_lang"),
+            F.lit(None).cast("string").alias("obj_datatype"),
+        )
+    )
+
+
+def annotation_closure(triples: DataFrame, max_depth: int = 3) -> DataFrame:
+    """J3: for each document URI, all part URIs in its transitive
+    dcterms:isPartOf closure plus inbound dcterms:references to any part.
+    Part nesting is bounded (S / S.1 / S.1.1), so the closure is
+    ``max_depth`` chained self-joins, not an iterative fixpoint
+    (annotations.rq:1-19; SURVEY.md §2 J3).
+
+    Returns (doc_uri, part_uri, inbound_ref) rows."""
+    parts = triples.where(F.col("pred") == ns.DCT_ISPARTOF).select(
+        F.col("subj").alias("part"), F.col("obj").alias("parent"))
+    # level 1: direct parts of the doc
+    closure = parts.select(F.col("parent").alias("doc_uri"),
+                           F.col("part").alias("part_uri"))
+    frontier = closure
+    for _ in range(max_depth - 1):
+        frontier = (
+            frontier.alias("f")
+            .join(parts.alias("p"), F.col("p.parent") == F.col("f.part_uri"))
+            .select(F.col("f.doc_uri").alias("doc_uri"),
+                    F.col("p.part").alias("part_uri"))
+        )
+        closure = closure.unionByName(frontier)
+    # keep document-level roots only (fragment-free URIs)
+    closure = closure.where(~F.col("doc_uri").contains("#")).dropDuplicates()
+    refs = triples.where(F.col("pred") == ns.DCT_REFERENCES).select(
+        F.col("obj").alias("part_uri"), F.col("subj").alias("inbound_ref"))
+    return (
+        closure.join(refs, "part_uri", "left")
+        .select("doc_uri", "part_uri", "inbound_ref")
+    )

@@ -1,0 +1,99 @@
+"""Pipeline + checkpoint/resume + cross-document join tests
+(SURVEY.md §2 J2-J4, M6 exact resume; north_rule lineage)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ferenda_spark import checkpoint, pipeline
+from ferenda_spark.fixtures.webpages import commondata_df, web_pages_df
+from ferenda_spark.operators import canonicalize
+from ferenda_spark.operators.extract import extract
+from ferenda_spark.operators.triples import all_triples
+
+N = 30
+
+
+@pytest.fixture(scope="module")
+def triples(spark):
+    df = all_triples(extract(web_pages_df(spark, N)),
+                     commondata_df(spark)).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_run_and_resume(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("pipe"))
+    entries = f"{out}/entries"
+    pages = web_pages_df(spark, 20)
+    res1 = pipeline.run(spark, pages, commondata_df(spark), out,
+                        entries_path=entries)
+    assert res1.n_extracted == 20
+    assert res1.n_triples > 100
+
+    # second run, same input: everything checkpointed -> nothing pending
+    todo = checkpoint.pending(pages, checkpoint.read_entries(spark, entries))
+    assert todo.count() == 0
+
+    # a changed page (different bytes for same url) IS pending again
+    changed = pages.limit(1).withColumn(
+        "html", F.to_binary(F.lit("<html><body><p>new</p></body></html>"),
+                            F.lit("utf-8")))
+    assert checkpoint.pending(
+        changed, checkpoint.read_entries(spark, entries)).count() == 1
+
+
+def test_triples_partition_layout(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("layout"))
+    pages = web_pages_df(spark, 10)
+    pipeline.run(spark, pages, commondata_df(spark), out)
+    t = spark.read.parquet(f"{out}/triples")
+    assert set(["pred_bucket", "crawl_date"]).issubset(set(t.columns))
+    # partition pruning: filter on pred_bucket must hit a subset of files
+    one = t.where("pred_bucket = 3")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "pred_bucket" in plan
+
+
+def test_dependency_join(triples):
+    deps = canonicalize.dependency_join(triples)
+    rows = {(r.from_url, r.to_url) for r in deps.collect()}
+    # every dep's target is a real document of the corpus
+    all_urls = {r.url for r in triples.select("url").distinct().collect()}
+    assert rows, "expected at least one intra-corpus reference"
+    for frm, to in rows:
+        assert frm in all_urls and to in all_urls and frm != to
+
+
+def test_skeleton_entities(triples):
+    stubs = canonicalize.skeleton_entities(triples)
+    stub_uris = {r.subj for r in stubs.collect()}
+    # cited-but-absent RFCs and external URLs become stubs
+    assert any("example.org" in u for u in stub_uris)
+    described = {r.subj for r in triples.select("subj").distinct().collect()}
+    assert not (stub_uris & described)
+
+
+def test_annotation_closure(triples):
+    ann = canonicalize.annotation_closure(triples)
+    rows = ann.collect()
+    # S1.1 sections must appear in their *document's* closure (depth 2)
+    deep = [r for r in rows if r.part_uri.endswith("#S1.1")]
+    assert deep and all("#" not in r.doc_uri for r in deep)
+    # inbound refs: some section is referenced by another doc's section
+    assert any(r.inbound_ref for r in rows)
+
+
+def test_lookup_labels_and_salted_join(spark):
+    common = commondata_df(spark)
+    facts = spark.createDataFrame(
+        [("Network Working Group",), ("Unknown Org",)], "label string")
+    out = canonicalize.lookup_labels(facts, common)
+    got = {r.label: r.ent_uri for r in out.collect()}
+    assert got["Network Working Group"] is not None
+    assert got["Unknown Org"] is None
+
+    dim = common.select(F.col("label"), F.col("uri"))
+    salted = canonicalize.salted_join(facts, dim, "label", salt=4)
+    got2 = {r.label: r.uri for r in salted.collect()}
+    assert got2 == {r.label: r.ent_uri for r in out.collect()}
