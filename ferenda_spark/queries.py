@@ -1,0 +1,684 @@
+"""Driver-contract queries: each entry implements one operator from
+SURVEY.md §2 (or a training-data-pipeline op) as a Spark DataFrame job
+over the synthetic testdata tables, PLUS an ANSI-SQL oracle that DuckDB
+runs on the same parquet — the per-round correctness gate.
+
+Conventions that make the oracle comparison exact:
+- every computed column is aliased identically in both implementations;
+- integer outputs are BIGINT on both sides (Spark size()/row_number()
+  return int -> cast to long);
+- floating outputs are computed in double and round()ed;
+- the only hash function used is the *portable 60-bit md5 prefix*:
+    Spark:  cast(conv(substr(md5(x), 1, 15), 16, 10) as bigint)
+    DuckDB: ('0x' || substr(md5(x), 1, 15))::BIGINT
+  (verified identical; see tests/test_oracle_parity.py)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+BASE = "http://localhost:8000/"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+FOAF_DOC = "http://xmlns.com/foaf/0.1/Document"
+DCT = "http://purl.org/dc/terms/"
+
+# ---------------------------------------------------------------------------
+# helpers
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _h(col) -> F.Column:
+    """Portable 60-bit hash (see module docstring)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+_H_SQL = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+_TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"       # spark (group 0)
+_TOKS_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"      # duckdb
+
+# spark-side distinct bigram shingles over the token array `ts`
+_SHINGLES = ("case when size(ts) >= 2 then array_distinct(transform("
+             "sequence(0, size(ts)-2), "
+             "i -> concat(element_at(ts, i+1), ' ', element_at(ts, i+2)))) "
+             "else array() end")
+
+# duckdb CTE producing (doc_id, tok) distinct bigram shingles
+_SHINGLES_CTE = f"""
+toks AS (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents),
+sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] AS tok
+       FROM toks, unnest(range(1, len(ts))) AS t(i)
+       WHERE len(ts) >= 2)
+"""
+
+
+def _shingles_df(spark, sf_dir) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    return (d.withColumn("ts", F.expr(_TOKS))
+            .withColumn("sh", F.expr(_SHINGLES))
+            .select("doc_id", F.explode("sh").alias("tok")))
+
+
+# the triple lift used by the kg_* oracle queries (SQL-expressible subset
+# of operators/triples.py, over the documents table)
+def _lift(spark, sf_dir) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    subj = F.concat(F.lit(BASE + "res/"), "source", F.lit("/"),
+                    F.col("doc_id").cast("string"))
+    ent = F.concat(F.lit(BASE + "ext/"), "source")
+    branches = [
+        (F.lit(RDF_TYPE), F.lit(FOAF_DOC)),
+        (F.lit(DCT + "identifier"), F.col("doc_id").cast("string")),
+        (F.lit(DCT + "language"), F.col("lang")),
+        (F.lit(DCT + "publisher"), ent),
+        (F.lit(DCT + "extent"), F.col("n_chars").cast("string")),
+    ]
+    out = None
+    for pred, obj in branches:
+        b = d.select(subj.alias("subj"), pred.alias("pred"), obj.alias("obj"))
+        out = b if out is None else out.unionByName(b)
+    return out.where(F.col("obj").isNotNull())
+
+
+_LIFT_CTE = f"""
+lift AS (
+  SELECT '{BASE}res/' || source || '/' || doc_id::VARCHAR AS subj,
+         '{RDF_TYPE}' AS pred, '{FOAF_DOC}' AS obj FROM documents
+  UNION ALL
+  SELECT '{BASE}res/' || source || '/' || doc_id::VARCHAR,
+         '{DCT}identifier', doc_id::VARCHAR FROM documents
+  UNION ALL
+  SELECT '{BASE}res/' || source || '/' || doc_id::VARCHAR,
+         '{DCT}language', lang FROM documents WHERE lang IS NOT NULL
+  UNION ALL
+  SELECT '{BASE}res/' || source || '/' || doc_id::VARCHAR,
+         '{DCT}publisher', '{BASE}ext/' || source FROM documents
+  UNION ALL
+  SELECT '{BASE}res/' || source || '/' || doc_id::VARCHAR,
+         '{DCT}extent', n_chars::VARCHAR FROM documents
+)
+"""
+
+# ---------------------------------------------------------------------------
+# query implementations  (spark side)
+
+def q_kg_triples_lift(spark, sf_dir):
+    """P1/C8: columnar metadata lift -> (subj, pred, obj) triples."""
+    return _lift(spark, sf_dir)
+
+
+def q_kg_facet_pivot(spark, sf_dir):
+    """A1 facet SELECT: pivot the triple table to one row per subject
+    (documentrepository.py:2144-2234 -> groupBy + conditional agg)."""
+    t = _lift(spark, sf_dir)
+    return t.groupBy("subj").agg(
+        F.max(F.when(F.col("pred") == DCT + "language", F.col("obj")))
+        .alias("lang"),
+        F.max(F.when(F.col("pred") == DCT + "publisher", F.col("obj")))
+        .alias("publisher"),
+        F.max(F.when(F.col("pred") == DCT + "identifier", F.col("obj")))
+        .alias("identifier"),
+    )
+
+
+def q_kg_stats_counts(spark, sf_dir):
+    """A7 stats: distinct (subj, obj) observations per predicate
+    (wsgiapp.py:248-402)."""
+    t = _lift(spark, sf_dir)
+    return (t.dropDuplicates(["subj", "pred", "obj"])
+            .groupBy("pred").agg(F.count("*").cast("long").alias("n")))
+
+
+def q_kg_doc_triple_counts(spark, sf_dir):
+    """A10: per-document triple counts (w3c.py:67-82)."""
+    return (_lift(spark, sf_dir).groupBy("subj")
+            .agg(F.count("*").cast("long").alias("n")))
+
+
+def q_facet_toc_pagesets(spark, sf_dir):
+    """A3 pageset derivation: distinct first-letter selector values
+    (toc_pagesets, documentrepository.py:2617-2696; firstletter
+    facet.py:210-230)."""
+    d = _read(spark, sf_dir, "documents")
+    return (d.select(F.lower(F.substring(F.trim("text"), 1, 1))
+                     .alias("firstletter"))
+            .where(F.col("firstletter") != "").distinct())
+
+
+def q_facet_toc_pages_topn(spark, sf_dir):
+    """A4 group + in-group sort: top-3 docs per source by size
+    (toc_select_for_pages, documentrepository.py:2698-2757)."""
+    d = _read(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (d.select("source", "doc_id", "n_chars",
+                     F.row_number().over(w).cast("long").alias("rn"))
+            .where(F.col("rn") <= 3))
+
+
+def q_news_feeds_topn(spark, sf_dir):
+    """A6 news ranking window: 5 most recent events per feed
+    (news_select_for_feeds, documentrepository.py:3044-3096)."""
+    e = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("ts"), F.asc("event_id"))
+    return (e.select("event_type", "event_id", "ts",
+                     F.row_number().over(w).cast("long").alias("rn"))
+            .where(F.col("rn") <= 5))
+
+
+def q_status_report(spark, sf_dir):
+    """A9 status report over the entries-shaped events table
+    (documentrepository.py:3389-3477)."""
+    e = _read(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.max("ts").alias("last_ts"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
+def q_events_props_extract(spark, sf_dir):
+    """S2-style regex field extraction from semi-structured payloads
+    (download_get_basefiles, documentrepository.py:784-812)."""
+    e = _read(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.regexp_extract("props", r'"k": (\d+)', 1).cast("long").alias("k_val"),
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: content-hash groups with canonical representative
+    (hash-groupBy; reference change detection S4 analog)."""
+    d = _read(spark, sf_dir, "documents")
+    w = Window.partitionBy("content_hash")
+    return (d.withColumn("content_hash", F.md5("text"))
+            .select("doc_id", "content_hash",
+                    F.count("*").over(w).cast("long").alias("group_size"),
+                    F.min("doc_id").over(w).cast("long")
+                    .alias("canonical_doc_id")))
+
+
+_N_MINHASH = 8
+
+
+def q_dedup_minhash_signature(spark, sf_dir):
+    """MinHash signatures (8 perms) over distinct word-bigram shingles —
+    the scale path for near-dup detection (shingle -> minhash -> band)."""
+    sh = _shingles_df(spark, sf_dir)
+    aggs = [F.min(_h(F.concat("tok", F.lit(f"#{j}")))).alias(f"mh{j}")
+            for j in range(_N_MINHASH)]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def q_dedup_lsh_pairs(spark, sf_dir):
+    """LSH banding (4 bands x 2 rows) over the minhash signatures ->
+    candidate pairs -> exact bigram-jaccard verification."""
+    sig = q_dedup_minhash_signature(spark, sf_dir)
+    bands = []
+    for b in range(4):
+        key = F.md5(F.concat(
+            F.col(f"mh{2 * b}").cast("string"), F.lit("-"),
+            F.col(f"mh{2 * b + 1}").cast("string")))
+        bands.append(sig.select("doc_id", F.lit(b).alias("band"),
+                                key.alias("bkey")))
+    bb = bands[0]
+    for x in bands[1:]:
+        bb = bb.unionByName(x)
+    cand = (bb.alias("a").join(
+        bb.alias("b"),
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bkey") == F.col("b.bkey"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct())
+    sh = _shingles_df(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # intersections ONLY for LSH candidate pairs (never all-pairs — the
+    # candidate set is what makes this viable at 10^9 docs)
+    inter = (cand.join(sh.alias("x"), F.col("x.doc_id") == F.col("doc_a"))
+             .join(sh.alias("y"),
+                   (F.col("y.doc_id") == F.col("doc_b"))
+                   & (F.col("x.tok") == F.col("y.tok")))
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count("*").alias("inter")))
+    return (inter
+            .join(sizes.withColumnRenamed("doc_id", "doc_a")
+                  .withColumnRenamed("n", "na"), "doc_a")
+            .join(sizes.withColumnRenamed("doc_id", "doc_b")
+                  .withColumnRenamed("n", "nb"), "doc_b")
+            .select("doc_a", "doc_b",
+                    F.round(F.col("inter")
+                            / (F.col("na") + F.col("nb") - F.col("inter")),
+                            4).alias("jaccard"))
+            .where(F.col("jaccard") >= 0.05))
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """16-bit SimHash over token multiset (frequency-weighted)."""
+    d = _read(spark, sf_dir, "documents")
+    tok = (d.withColumn("ts", F.expr(_TOKS))
+           .select("doc_id", F.explode("ts").alias("tok"))
+           .withColumn("h", _h(F.col("tok"))))
+    aggs = [
+        F.sum(F.when(F.expr(f"(h >> {i}) & 1") == 1, 1).otherwise(-1))
+        .alias(f"s{i}")
+        for i in range(16)
+    ]
+    bits = tok.groupBy("doc_id").agg(*aggs)
+    sim = None
+    for i in range(16):
+        term = F.when(F.col(f"s{i}") > 0, 2 ** i).otherwise(0)
+        sim = term if sim is None else sim + term
+    return bits.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k ANN baseline: 5 query vectors vs all."""
+    e = (_read(spark, sf_dir, "embeddings")
+         .select("vec_id", F.col("embedding").cast("array<double>").alias("v")))
+    q = (e.where("vec_id < 5")
+         .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv")))
+    c = e.select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+
+    def dot(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                           F.lit(0.0), lambda acc, x: acc + x)
+
+    pairs = (q.join(c, F.col("qid") != F.col("cid"))
+             .withColumn("cos", F.round(
+                 dot(F.col("qv"), F.col("cv"))
+                 / (F.sqrt(dot(F.col("qv"), F.col("qv")))
+                    * F.sqrt(dot(F.col("cv"), F.col("cv")))), 3)))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
+    return (pairs.select("qid", "cid", "cos",
+                         F.row_number().over(w).cast("long").alias("rn"))
+            .where(F.col("rn") <= 3))
+
+
+def q_text_lang_id(spark, sf_dir):
+    """Language-ID heuristic: English function-word hit ratio."""
+    d = _read(spark, sf_dir, "documents")
+    stop = ("the", "a", "of", "and", "to")
+    t = (d.withColumn("ts", F.expr(_TOKS))
+         .select("doc_id", "ts",
+                 F.size("ts").cast("long").alias("n_tokens")))
+    hits = F.size(F.filter("ts", lambda x: x.isin(*stop))).cast("long")
+    return (t.withColumn("en_hits", hits)
+            .select("doc_id", "n_tokens", "en_hits",
+                    F.when(F.col("n_tokens") > 0,
+                           F.round(F.col("en_hits") / F.col("n_tokens"), 4))
+                    .otherwise(F.lit(0.0)).alias("en_ratio"))
+            .withColumn("pred_lang",
+                        F.when(F.col("en_ratio") > 0.03, "en")
+                        .otherwise("other")))
+
+
+def q_text_quality_score(spark, sf_dir):
+    """Quality scoring: token count, type-token ratio, length-capped score."""
+    d = _read(spark, sf_dir, "documents")
+    t = d.withColumn("ts", F.expr(_TOKS))
+    n = F.size("ts").cast("long")
+    nd = F.size(F.array_distinct("ts")).cast("long")
+    ttr_raw = F.when(n > 0, nd / n).otherwise(F.lit(0.0))
+    ttr = F.round(ttr_raw, 4)
+    # score uses the RAW ratio: rounding ttr first would make score land on
+    # exact .xxxx5 halves where Spark (HALF_UP) and DuckDB (binary) disagree
+    score = F.round(
+        ttr_raw * 0.5
+        + F.least(n / F.lit(100.0), F.lit(1.0)) * 0.5, 4)
+    return t.select("doc_id", n.alias("n_tokens"), nd.alias("n_distinct"),
+                    ttr.alias("ttr"), score.alias("score"))
+
+
+def q_text_token_count(spark, sf_dir):
+    """Token counting: regex tokens + whitespace tokens."""
+    d = _read(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.expr(_TOKS)).cast("long").alias("n_tokens"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_ws_tokens"),
+        F.length("text").cast("long").alias("len_chars"),
+    )
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Document fingerprinting: full-content hash + prefix fingerprint."""
+    d = _read(spark, sf_dir, "documents")
+    t = d.withColumn("ts", F.expr(_TOKS))
+    prefix = F.concat_ws(" ", F.slice("ts", 1, 8))
+    return t.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", "ts")).alias("content_fp"),
+        F.md5(prefix).alias("prefix_fp"),
+    )
+
+
+def q_coin_uri_mint(spark, sf_dir):
+    """C7 COIN minting via the real compiled when()-chain minter."""
+    from ferenda_spark.operators.coin import CoinTemplate, SlugTransform, compile_coin
+    d = _read(spark, sf_dir, "documents")
+    d = d.withColumn("label", F.concat(F.lit("Source "), "source"))
+    minted = compile_coin(
+        [CoinTemplate(uri_template="{+base}ext/{label}", bindings=("label",),
+                      slug=SlugTransform(to_lower=True, space_repl="+"))],
+        BASE, {"label": F.col("label")})
+    return d.select("doc_id", "label", minted.alias("minted_uri"))
+
+
+def q_entity_link(spark, sf_dir):
+    """J1 entity linking: label->URI broadcast hash join against the
+    minted dictionary (lookup_resource, documentrepository.py:439-485)."""
+    d = _read(spark, sf_dir, "documents")
+    dim = (d.select("source").distinct()
+           .select(F.col("source").alias("label"),
+                   F.concat(F.lit(BASE + "ext/"), "source").alias("ent_uri")))
+    return (d.join(F.broadcast(dim), d.source == dim.label)
+            .select("doc_id", "source", "ent_uri"))
+
+
+def q_dependency_join(spark, sf_dir):
+    """J2 dependency join: each doc references target (doc_id*7+3) mod N;
+    keep references whose target exists and differs
+    (relate_dependencies, documentrepository.py:1889-1926)."""
+    d = _read(spark, sf_dir, "documents")
+    n = d.count()  # deterministic; mirrors a dimension-count subquery
+    refs = d.select(F.col("doc_id").alias("from_doc"),
+                    ((F.col("doc_id") * 7 + 3) % n).alias("to_doc"))
+    docs = d.select(F.col("doc_id").alias("to_doc"))
+    return (refs.join(docs, "to_doc")
+            .where(F.col("from_doc") != F.col("to_doc"))
+            .select("from_doc", "to_doc"))
+
+
+def q_skeleton_anti_join(spark, sf_dir):
+    """J4 skeleton entities: referenced-but-missing ids via LEFT ANTI join
+    (skeleton.py:16-142)."""
+    d = _read(spark, sf_dir, "documents")
+    refs = d.select((F.col("doc_id") * 7 + 3).alias("missing_id")).distinct()
+    ids = d.select(F.col("doc_id").alias("missing_id"))
+    return refs.join(ids, "missing_id", "left_anti")
+
+
+def q_tpch_q1_pricing(spark, sf_dir):
+    """Aggregation parity anchor (TPC-H Q1 shape) — partial+final hash agg."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (li.where(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                F.round(F.sum(F.col("l_extendedprice")
+                              * (1 - F.col("l_discount"))), 2)
+                .alias("sum_disc_price"),
+                F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+                F.count("*").cast("long").alias("count_order"),
+            ))
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect = ANSI here), keyed by query name
+
+ORACLE: dict[str, str] = {}
+
+ORACLE["kg_triples_lift"] = f"WITH {_LIFT_CTE.strip()} SELECT * FROM lift"
+
+ORACLE["kg_facet_pivot"] = f"""
+WITH {_LIFT_CTE.strip()}
+SELECT subj,
+  max(CASE WHEN pred = '{DCT}language' THEN obj END) AS lang,
+  max(CASE WHEN pred = '{DCT}publisher' THEN obj END) AS publisher,
+  max(CASE WHEN pred = '{DCT}identifier' THEN obj END) AS identifier
+FROM lift GROUP BY subj
+"""
+
+ORACLE["kg_stats_counts"] = f"""
+WITH {_LIFT_CTE.strip()},
+dd AS (SELECT DISTINCT subj, pred, obj FROM lift)
+SELECT pred, count(*)::BIGINT AS n FROM dd GROUP BY pred
+"""
+
+ORACLE["kg_doc_triple_counts"] = f"""
+WITH {_LIFT_CTE.strip()}
+SELECT subj, count(*)::BIGINT AS n FROM lift GROUP BY subj
+"""
+
+ORACLE["facet_toc_pagesets"] = """
+SELECT DISTINCT lower(substr(trim(text), 1, 1)) AS firstletter
+FROM documents WHERE lower(substr(trim(text), 1, 1)) <> ''
+"""
+
+ORACLE["facet_toc_pages_topn"] = """
+SELECT * FROM (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id ASC)::BIGINT AS rn
+  FROM documents) WHERE rn <= 3
+"""
+
+ORACLE["news_feeds_topn"] = """
+SELECT * FROM (
+  SELECT event_type, event_id, ts,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY ts DESC, event_id ASC)::BIGINT AS rn
+  FROM events) WHERE rn <= 5
+"""
+
+ORACLE["status_report"] = """
+SELECT event_type, count(*)::BIGINT AS n, max(ts) AS last_ts,
+       round(avg(value), 4) AS avg_value
+FROM events GROUP BY event_type
+"""
+
+ORACLE["events_props_extract"] = r"""
+SELECT event_id,
+       regexp_extract(props, '"k": (\d+)', 1)::BIGINT AS k_val
+FROM events
+"""
+
+ORACLE["dedup_exact"] = """
+SELECT doc_id, md5(text) AS content_hash,
+       count(*) OVER (PARTITION BY md5(text))::BIGINT AS group_size,
+       min(doc_id) OVER (PARTITION BY md5(text))::BIGINT AS canonical_doc_id
+FROM documents
+"""
+
+_mh_cols_sql = ", ".join(
+    "min(" + _H_SQL.format(x=f"tok || '#{j}'") + f") AS mh{j}"
+    for j in range(_N_MINHASH))
+
+ORACLE["dedup_minhash_signature"] = f"""
+WITH {_SHINGLES_CTE.strip()}
+SELECT doc_id, {_mh_cols_sql} FROM sh GROUP BY doc_id
+"""
+
+_band_sql = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, "
+    f"md5(mh{2*b}::VARCHAR || '-' || mh{2*b+1}::VARCHAR) AS bkey FROM sig"
+    for b in range(4))
+
+ORACLE["dedup_lsh_pairs"] = f"""
+WITH {_SHINGLES_CTE.strip()},
+sig AS (SELECT doc_id, {_mh_cols_sql} FROM sh GROUP BY doc_id),
+bands AS ({_band_sql}),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+          FROM cand c
+          JOIN sh x ON x.doc_id = c.doc_a
+          JOIN sh y ON y.doc_id = c.doc_b AND y.tok = x.tok
+          GROUP BY 1, 2)
+SELECT i.doc_a, i.doc_b,
+       round(i.inter * 1.0 / (sa.n + sb.n - i.inter), 4) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE round(i.inter * 1.0 / (sa.n + sb.n - i.inter), 4) >= 0.05
+"""
+
+_sim_bits_sql = ", ".join(
+    f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+    for i in range(16))
+_sim_val_sql = " + ".join(
+    f"(CASE WHEN s{i} > 0 THEN {2 ** i} ELSE 0 END)" for i in range(16))
+
+ORACLE["dedup_simhash"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+), hashed AS (
+  SELECT doc_id, {_H_SQL.format(x='tok')} AS h FROM toks
+), bits AS (
+  SELECT doc_id, {_sim_bits_sql} FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, ({_sim_val_sql})::BIGINT AS simhash FROM bits
+"""
+
+ORACLE["ann_cosine_topk"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         round(list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(c.v, c.v))), 3) AS cos
+  FROM e q JOIN e c ON q.vec_id < 5 AND q.vec_id <> c.vec_id)
+SELECT * FROM (
+  SELECT qid, cid, cos,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos DESC, cid ASC)::BIGINT AS rn
+  FROM p) WHERE rn <= 3
+"""
+
+ORACLE["text_lang_id"] = f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents),
+x AS (
+  SELECT doc_id, len(ts)::BIGINT AS n_tokens,
+         len(list_filter(ts, x -> x IN ('the','a','of','and','to')))::BIGINT
+           AS en_hits
+  FROM t)
+SELECT doc_id, n_tokens, en_hits,
+       CASE WHEN n_tokens > 0
+            THEN round(en_hits * 1.0 / n_tokens, 4) ELSE 0.0 END AS en_ratio,
+       CASE WHEN (CASE WHEN n_tokens > 0
+                       THEN round(en_hits * 1.0 / n_tokens, 4)
+                       ELSE 0.0 END) > 0.03
+            THEN 'en' ELSE 'other' END AS pred_lang
+FROM x
+"""
+
+ORACLE["text_quality_score"] = f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents),
+x AS (SELECT doc_id, len(ts)::BIGINT AS n_tokens,
+             len(list_distinct(ts))::BIGINT AS n_distinct FROM t),
+y AS (SELECT doc_id, n_tokens, n_distinct,
+             CASE WHEN n_tokens > 0
+                  THEN n_distinct * 1.0 / n_tokens
+                  ELSE 0.0 END AS ttr_raw FROM x)
+SELECT doc_id, n_tokens, n_distinct, round(ttr_raw, 4) AS ttr,
+       round(ttr_raw * 0.5 + least(n_tokens / 100.0, 1.0) * 0.5, 4) AS score
+FROM y
+"""
+
+ORACLE["text_token_count"] = f"""
+SELECT doc_id, len({_TOKS_SQL})::BIGINT AS n_tokens,
+       len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_ws_tokens,
+       length(text)::BIGINT AS len_chars
+FROM documents
+"""
+
+ORACLE["doc_fingerprint"] = f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents)
+SELECT doc_id,
+       md5(array_to_string(ts, ' ')) AS content_fp,
+       md5(array_to_string(ts[1:8], ' ')) AS prefix_fp
+FROM t
+"""
+
+ORACLE["coin_uri_mint"] = f"""
+SELECT doc_id, 'Source ' || source AS label,
+       '{BASE}ext/' || regexp_replace(lower('Source ' || source),
+                                      '\\s+', '+', 'g') AS minted_uri
+FROM documents
+"""
+
+ORACLE["entity_link"] = f"""
+SELECT doc_id, source, '{BASE}ext/' || source AS ent_uri FROM documents
+"""
+
+ORACLE["dependency_join"] = """
+WITH n AS (SELECT count(*) AS cnt FROM documents),
+refs AS (SELECT doc_id AS from_doc,
+                (doc_id * 7 + 3) % (SELECT cnt FROM n) AS to_doc
+         FROM documents)
+SELECT r.from_doc, r.to_doc
+FROM refs r JOIN documents d ON d.doc_id = r.to_doc
+WHERE r.from_doc <> r.to_doc
+"""
+
+ORACLE["skeleton_anti_join"] = """
+SELECT DISTINCT (doc_id * 7 + 3) AS missing_id FROM documents
+WHERE (doc_id * 7 + 3) NOT IN (SELECT doc_id FROM documents)
+"""
+
+ORACLE["tpch_q1_pricing"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+
+def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "kg_triples_lift": q_kg_triples_lift,
+        "kg_facet_pivot": q_kg_facet_pivot,
+        "kg_stats_counts": q_kg_stats_counts,
+        "kg_doc_triple_counts": q_kg_doc_triple_counts,
+        "facet_toc_pagesets": q_facet_toc_pagesets,
+        "facet_toc_pages_topn": q_facet_toc_pages_topn,
+        "news_feeds_topn": q_news_feeds_topn,
+        "status_report": q_status_report,
+        "events_props_extract": q_events_props_extract,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_signature": q_dedup_minhash_signature,
+        "dedup_lsh_pairs": q_dedup_lsh_pairs,
+        "dedup_simhash": q_dedup_simhash,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "text_lang_id": q_text_lang_id,
+        "text_quality_score": q_text_quality_score,
+        "text_token_count": q_text_token_count,
+        "doc_fingerprint": q_doc_fingerprint,
+        "coin_uri_mint": q_coin_uri_mint,
+        "entity_link": q_entity_link,
+        "dependency_join": q_dependency_join,
+        "skeleton_anti_join": q_skeleton_anti_join,
+        "tpch_q1_pricing": q_tpch_q1_pricing,
+    }
+
+
+def kg_pipeline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full north-rule KG pipeline on the synthetic web_pages corpus
+    (not SQL-expressible: FSM + pandas-UDF parse -> rows-only check)."""
+    from ferenda_spark.fixtures.webpages import commondata_df, web_pages_df
+    from ferenda_spark.operators.extract import extract
+    from ferenda_spark.operators.triples import all_triples
+    n = 120 if "0.1" in sf_dir else 60
+    return all_triples(extract(web_pages_df(spark, n)), commondata_df(spark))
