@@ -7,16 +7,24 @@ Prints ONE JSON line:
 
 Extras (informational, per BASELINE.md protocol):
 - kg_docs_per_sec: throughput of the full KG pipeline (north-star metric)
-- scaling: same KG job at local[8] vs local[cpus], efficiency =
-  (T8/TN)/(N/8)  — the sandbox proxy for N vs 4N executors (north_rule)
+- scaling: the SAME KG job + input at local[8] and local[$CPUS], each in
+  its own fresh JVM subprocess (fair cold-start treatment), warmed up
+  in-session and timed as best-of-3.  efficiency = (T_low/T_high)/(N/8)
+  — the sandbox proxy for N vs 4N executor clusters (north_rule).
 
-Set SPARK_GRAFT_SCALING=0 to skip the scaling run (it restarts the JVM).
+Env knobs: SPARK_GRAFT_SCALING=0 skips the scaling subprocesses;
+SPARK_GRAFT_KG_PAGES sizes the synthetic corpus (default 12000,
+synthesized cluster-side via web_pages_df_dist).
+
+Subprocess protocol: `python bench.py --kg-only <cores> <pages>` prints
+one JSON line {"sec": .., "docs_per_sec": ..}.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -24,7 +32,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "3000"))
+# scaling corpus: big enough that compute dominates local-mode task
+# overhead (~260 core-seconds; see BASELINE.md §4)
+KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "600000"))
+
+# columns the triples stage needs — persisting the full extract output
+# (text + blocks) doubles cache size and GC pressure for nothing
+_TRIPLES_COLS = ["url", "alias", "basefile", "doc_uri", "lang", "title",
+                 "head_meta", "rfc_header", "sections", "citations",
+                 "parse_ok"]
 
 BENCH_QUERIES = [
     "kg_triples_lift",
@@ -37,12 +53,21 @@ BENCH_QUERIES = [
     "dedup_minhash_signature",
     "dedup_lsh_pairs",
     "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
     "ann_cosine_topk",
+    "ann_ivf_topk",
     "text_quality_score",
     "doc_fingerprint",
     "entity_link",
     "dependency_join",
+    "dependency_closure_2hop",
+    "citations_rfc_regex",
+    "kg_set_diff",
+    "events_hourly_windows",
+    "multimodal_features",
     "tpch_q1_pricing",
+    "tpch_q3_shipping",
 ]
 
 
@@ -50,67 +75,135 @@ def _noop_write(df):
     df.write.format("noop").mode("overwrite").save()
 
 
-def run_kg_pipeline(spark, n_pages: int) -> tuple[float, int]:
-    """Full extract -> triples over the synthetic web_pages corpus;
-    returns (wall_s, n_pages)."""
-    from ferenda_spark.fixtures.webpages import commondata_df, web_pages_df
+def prepare_corpus(spark, n_pages: int, cores: int, path: str) -> None:
+    """Synthesize the corpus cluster-side ONCE and land it as parquet —
+    the timed job then reads from storage exactly like the production
+    scan (no RAM-cache pressure distorting the measurement)."""
+    from ferenda_spark.fixtures.webpages import web_pages_df_dist
+
+    (web_pages_df_dist(spark, n_pages, partitions=cores * 2)
+     .write.mode("overwrite").parquet(path))
+
+
+def run_kg_pipeline(spark, corpus_path: str, n_pages: int) -> tuple[float, int]:
+    """Full scan -> extract -> triples as ONE fused job (the fused
+    emission consumes the extract output exactly once, so there is
+    nothing to persist); returns (wall_s, n_pages)."""
+    from ferenda_spark.fixtures.webpages import commondata_df
     from ferenda_spark.operators.extract import extract
     from ferenda_spark.operators.triples import all_triples
 
-    pages = web_pages_df(spark, n_pages).repartition(CPUS * 2, "url")
-    pages.persist()
-    pages.count()  # exclude fixture synthesis from the timed section
+    pages = spark.read.parquet(corpus_path)
     t0 = time.time()
-    extracted = extract(pages)
-    extracted.persist()
-    extracted.count()
+    extracted = extract(pages).select(*_TRIPLES_COLS)
     _noop_write(all_triples(extracted, commondata_df(spark)))
-    wall = time.time() - t0
-    extracted.unpersist()
-    pages.unpersist()
-    return wall, n_pages
+    return time.time() - t0, n_pages
 
 
-def bench_at(cores: int, include_queries: bool) -> dict:
-    from ferenda_spark import queries as Q
+def kg_bench(cores: int, pages: int) -> dict:
+    """Steady-state KG throughput at one parallelism level: warmup run
+    (python workers + JIT) then best-of-3."""
+    import tempfile
+
     from ferenda_spark.session import get_spark
 
-    spark = get_spark(f"bench_{cores}", cores=cores,
+    spark = get_spark(f"bench_kg_{cores}", cores=cores,
                       shuffle_partitions=max(cores, 8))
-    out: dict = {}
-    kg_wall, n_pages = run_kg_pipeline(spark, KG_PAGES)
-    out["kg_pipeline"] = {"sec": round(kg_wall, 3),
-                          "docs_per_sec": round(n_pages / kg_wall, 1)}
-    if include_queries:
-        reg = Q.registry()
-        out["queries"] = {}
-        for name in BENCH_QUERIES:
-            t0 = time.time()
-            _noop_write(reg[name](spark, SF_DIR))
-            out["queries"][name] = round(time.time() - t0, 3)
+    with tempfile.TemporaryDirectory() as td:
+        corpus = f"{td}/web_pages"
+        prepare_corpus(spark, pages, cores, corpus)
+        warm = f"{td}/warm"
+        prepare_corpus(spark, max(pages // 8, 200), cores, warm)
+        run_kg_pipeline(spark, warm, 0)  # warmup
+        wall, n = min(run_kg_pipeline(spark, corpus, pages)
+                      for _ in range(3))
     spark.stop()
-    return out
+    return {"sec": round(wall, 3), "docs_per_sec": round(n / wall, 1)}
+
+
+def cpu_ceiling(lo: int = 8, hi: int = 32) -> dict:
+    """The MACHINE's achievable scaling for pure-CPU multiprocessing
+    work between the two parallelism levels (frequency scaling and
+    hypervisor sharing cap it well below cores_hi/cores_lo on cloud
+    boxes).  The pipeline's efficiency is reported both raw and
+    relative to this ceiling."""
+    import multiprocessing as mp
+
+    def timed(procs: int) -> float:
+        t0 = time.time()
+        with mp.Pool(procs) as p:
+            p.map(_burn, [3_000_000] * 64)
+        return time.time() - t0
+
+    t_lo, t_hi = timed(lo), timed(hi)
+    return {"sec_low": round(t_lo, 2), "sec_high": round(t_hi, 2),
+            "speedup": round(t_lo / t_hi, 3)}
+
+
+def _burn(n: int) -> int:
+    s = 0
+    for i in range(n):
+        s += i * i
+    return s
+
+
+def kg_bench_subprocess(cores: int, pages: int) -> dict:
+    """Run kg_bench in a FRESH JVM so both parallelism levels get
+    identical cold-start treatment."""
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--kg-only",
+         str(cores), str(pages)],
+        capture_output=True, text=True, timeout=1200,
+        cwd=os.path.dirname(os.path.abspath(__file__)))
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
 
 
 def main():
+    from ferenda_spark import queries as Q
+    from ferenda_spark.session import get_spark
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    res_n = bench_at(CPUS, include_queries=True)
-    queries = dict(res_n["queries"])
-    queries["kg_pipeline"] = res_n["kg_pipeline"]["sec"]
+    scaling_on = (os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
+                  and CPUS > 8)
+
+    # KG pipeline at both parallelism levels, fresh JVM each
+    if scaling_on:
+        res_hi = kg_bench_subprocess(CPUS, KG_PAGES)
+        res_lo = kg_bench_subprocess(8, KG_PAGES)
+    else:
+        res_hi = kg_bench(CPUS, KG_PAGES)
+        res_lo = None
+
+    # operator query suite at full parallelism
+    spark = get_spark("bench_queries", cores=CPUS,
+                      shuffle_partitions=max(CPUS, 8))
+    reg = Q.registry()
+    queries: dict = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        _noop_write(reg[name](spark, SF_DIR))
+        queries[name] = round(time.time() - t0, 3)
+    spark.stop()
+
+    queries["kg_pipeline"] = res_hi["sec"]
     total = round(sum(queries.values()), 3)
 
-    extras: dict = {"kg_docs_per_sec": res_n["kg_pipeline"]["docs_per_sec"]}
-    if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0" and CPUS > 8:
-        res_8 = bench_at(8, include_queries=False)
-        t8, tn = res_8["kg_pipeline"]["sec"], res_n["kg_pipeline"]["sec"]
-        speedup = t8 / tn
+    extras: dict = {"kg_docs_per_sec": res_hi["docs_per_sec"],
+                    "kg_pages": KG_PAGES}
+    if res_lo:
+        speedup = res_lo["sec"] / res_hi["sec"]
+        ceil = cpu_ceiling(8, CPUS)
         extras["scaling"] = {
             "cores_low": 8, "cores_high": CPUS,
-            "kg_sec_low": t8, "kg_sec_high": tn,
-            "docs_per_sec_low": res_8["kg_pipeline"]["docs_per_sec"],
-            "docs_per_sec_high": res_n["kg_pipeline"]["docs_per_sec"],
+            "kg_sec_low": res_lo["sec"], "kg_sec_high": res_hi["sec"],
+            "docs_per_sec_low": res_lo["docs_per_sec"],
+            "docs_per_sec_high": res_hi["docs_per_sec"],
             "speedup": round(speedup, 3),
             "efficiency": round(speedup / (CPUS / 8), 3),
+            "machine_cpu_ceiling_speedup": ceil["speedup"],
+            "efficiency_vs_machine_ceiling": round(
+                speedup / ceil["speedup"], 3),
         }
 
     print(json.dumps({
@@ -125,4 +218,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--kg-only":
+        print(json.dumps(kg_bench(int(sys.argv[2]), int(sys.argv[3]))))
+    else:
+        main()

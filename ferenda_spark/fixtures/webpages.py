@@ -326,26 +326,29 @@ ISSN: 2070-1721{updates_line}
 
 # ---------------------------------------------------------------------------
 
+def gen_row(i: int, seed: int = 42) -> dict:
+    """One web_pages row + goldens; pure function of (seed, i) — which is
+    what lets synthesis distribute (web_pages_df_dist)."""
+    rng = random.Random((seed << 20) + i)
+    fam = ("base", "base", "w3c", "rfc", "rfc", "base", "w3c", "rfc",
+           "base", "w3c")[i % 10]
+    build = {"base": _build_base, "w3c": _build_w3c, "rfc": _build_rfc}[fam]
+    data, lang_col, golden = build(i, rng)
+    url = golden["uri"]  # crawl url == canonical uri for fixtures
+    return {
+        "url": url,
+        "warc_ts": _ts(i),
+        "html": data,
+        "text": None,          # engine fills this
+        "lang": lang_col,
+        "golden": golden,
+        "content_md5": hashlib.md5(data).hexdigest(),
+    }
+
+
 def gen_rows(n: int, seed: int = 42) -> list[dict]:
     """n web_pages rows + goldens; pure function of (seed, i)."""
-    rows = []
-    for i in range(n):
-        rng = random.Random((seed << 20) + i)
-        fam = ("base", "base", "w3c", "rfc", "rfc", "base", "w3c", "rfc",
-               "base", "w3c")[i % 10]
-        build = {"base": _build_base, "w3c": _build_w3c, "rfc": _build_rfc}[fam]
-        data, lang_col, golden = build(i, rng)
-        url = golden["uri"]  # crawl url == canonical uri for fixtures
-        rows.append({
-            "url": url,
-            "warc_ts": _ts(i),
-            "html": data,
-            "text": None,          # engine fills this
-            "lang": lang_col,
-            "golden": golden,
-            "content_md5": hashlib.md5(data).hexdigest(),
-        })
-    return rows
+    return [gen_row(i, seed) for i in range(n)]
 
 
 # ---------------------------------------------------------------------------
@@ -361,6 +364,29 @@ def web_pages_df(spark, n: int, seed: int = 42):
         [(r["url"], r["warc_ts"], r["html"], r["text"], r["lang"]) for r in rows],
         WEB_PAGES_SCHEMA,
     )
+
+
+def web_pages_df_dist(spark, n: int, seed: int = 42,
+                      partitions: int | None = None):
+    """Distributed fixture synthesis: ``spark.range(n)`` -> each task
+    generates its own index slice with ``gen_row`` (pure in (seed, i)).
+    Driver-side ``createDataFrame`` tops out around 10^5 rows; this path
+    materializes a corpus of any size cluster-side — the same pattern a
+    10^12-page load test would use."""
+    import pandas as pd
+
+    parts = partitions or spark.sparkContext.defaultParallelism * 2
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [gen_row(int(i), seed) for i in pdf["id"]]
+            yield pd.DataFrame(
+                [(r["url"], r["warc_ts"], r["html"], r["text"], r["lang"])
+                 for r in rows],
+                columns=["url", "warc_ts", "html", "text", "lang"])
+
+    return (spark.range(n).repartition(parts)
+            .mapInPandas(gen, WEB_PAGES_SCHEMA))
 
 
 def golden_text_df(spark, n: int, seed: int = 42):

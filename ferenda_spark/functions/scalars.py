@@ -1,0 +1,168 @@
+"""Columnar scalar functions.  Everything is a Column expression —
+JVM-side, inside whole-stage codegen; nothing here is a Python UDF.
+
+Where the reference's function is inherently iterative (roman numerals)
+the expression is a bounded chain (numerals are <= 15 chars), still
+pure columnar.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# normalize_space (util.py:279-290): collapse all whitespace runs
+# (incl. NBSP) to single spaces and strip ends.
+
+_WS = "[\\s  ]+"
+
+
+def normalize_space(col: Column) -> Column:
+    return F.trim(F.regexp_replace(col, _WS, " "))
+
+
+def normalize_space_py(s: str) -> str:
+    return " ".join(s.replace("\xa0", " ").split())
+
+
+# ---------------------------------------------------------------------------
+# title_sortkey (util.py:722-731): lowercase, drop leading "the ",
+# remove non-word chars, collapse spaces.
+
+def title_sortkey(col: Column) -> Column:
+    out = F.lower(normalize_space(col))
+    out = F.regexp_replace(out, "^the ", "")
+    out = F.regexp_replace(out, "[^a-z0-9 ]", "")
+    return F.trim(F.regexp_replace(out, " +", " "))
+
+
+def title_sortkey_py(s: str) -> str:
+    out = normalize_space_py(s).lower()
+    out = re.sub("^the ", "", out)
+    out = re.sub("[^a-z0-9 ]", "", out)
+    return re.sub(" +", " ", out).strip()
+
+
+# ---------------------------------------------------------------------------
+# natural sort key (split_numalpha, util.py:207-237): "RFC 10" < "RFC 9"
+# under plain string sort; fixed by zero-padding every digit run.  As a
+# single sortable STRING column (padding to 12 digits covers any id the
+# reference handles).
+
+def natural_sort_key(col: Column, width: int = 12) -> Column:
+    # regexp_replace cannot compute a padded backreference, so tokenize
+    # into digit/non-digit runs and pad the numeric ones
+    toks = F.regexp_extract_all(col, F.lit("(\\d+|\\D+)"), 1)
+    return F.array_join(
+        F.transform(
+            toks,
+            lambda t: F.when(t.rlike("^\\d+$"), F.lpad(t, width, "0"))
+            .otherwise(t),
+        ),
+        "",
+    )
+
+
+def natural_sort_key_py(s: str, width: int = 12) -> str:
+    return re.sub(r"\d+", lambda m: m.group(0).zfill(width), s)
+
+
+# ---------------------------------------------------------------------------
+# roman numerals (from_roman, util.py:693-720).  Bounded expression:
+# value = sum over chars of V(c), minus 2*V(c) when followed by a
+# bigger value (subtractive notation) — computed with one transform
+# over the char array.
+
+_ROMAN = {"i": 1, "v": 5, "x": 10, "l": 50, "c": 100, "d": 500, "m": 1000}
+
+
+def from_roman(col: Column) -> Column:
+    lc = F.lower(col)
+    chars = F.split(lc, "")
+    val_map = F.create_map(*[F.lit(x) for kv in _ROMAN.items() for x in kv])
+    return F.aggregate(
+        F.sequence(F.lit(0), F.length(lc) - 1),
+        F.lit(0),
+        lambda acc, i: acc + F.coalesce(
+            F.when(
+                F.coalesce(
+                    F.element_at(val_map, F.element_at(chars, i + 1)),
+                    F.lit(0))
+                < F.coalesce(
+                    F.element_at(val_map, F.try_element_at(chars, i + 2)),
+                    F.lit(0)),
+                -F.coalesce(
+                    F.element_at(val_map, F.element_at(chars, i + 1)),
+                    F.lit(0)))
+            .otherwise(F.coalesce(
+                F.element_at(val_map, F.element_at(chars, i + 1)),
+                F.lit(0))),
+            F.lit(0)),
+    )
+
+
+def from_roman_py(s: str) -> int:
+    s = s.lower()
+    total = 0
+    for i, c in enumerate(s):
+        v = _ROMAN.get(c, 0)
+        nxt = _ROMAN.get(s[i + 1], 0) if i + 1 < len(s) else 0
+        total += -v if v < nxt else v
+    return total
+
+
+# ---------------------------------------------------------------------------
+# misc string helpers
+
+def ucfirst(col: Column) -> Column:
+    """util.py:451-457: first char upper, rest untouched."""
+    return F.concat(F.upper(F.substring(col, 1, 1)), F.substring(col, 2, 2**31 - 1))
+
+
+def uri_leaf(col: Column) -> Column:
+    """util.py:625-640: last path/fragment segment of a URI."""
+    return F.element_at(F.split(col, "[/#]"), -1)
+
+
+def uri_leaf_py(s: str) -> str:
+    return re.split("[/#]", s)[-1]
+
+
+def slugify(col: Column, space_repl: str = "+") -> Column:
+    """COIN slug transform default (thirdparty/coin.py:60-91)."""
+    return F.regexp_replace(F.lower(col), "\\s+", space_repl)
+
+
+def slugify_py(s: str, space_repl: str = "+") -> str:
+    return re.sub(r"\s+", space_repl, s.lower())
+
+
+def base27_encode_py(n: int) -> str:
+    """util.py:839-845: 0 -> '', 1..26 -> a..z (legal-doc appendices)."""
+    out = ""
+    while n:
+        n, rem = divmod(n - 1, 26)
+        out = chr(ord("a") + rem) + out
+    return out
+
+
+# ---------------------------------------------------------------------------
+# facet selectors (facet.py:128-280)
+
+def year_of(col: Column) -> Column:
+    """facet.py:156-175 year(): works for date, timestamp and ISO
+    strings of any precision (len-dispatched in the reference)."""
+    return F.year(F.to_timestamp(F.substring(col.cast("string"), 1, 10)))
+
+
+def firstletter(col: Column) -> Column:
+    """facet.py:210-230."""
+    return F.lower(F.substring(F.trim(col), 1, 1))
+
+
+def _nfc(s: str) -> str:
+    return unicodedata.normalize("NFC", s)

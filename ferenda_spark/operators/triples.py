@@ -258,15 +258,150 @@ def citation_triples(extracted: DataFrame) -> DataFrame:
     )
 
 
-def all_triples(extracted: DataFrame, commondata: DataFrame) -> DataFrame:
-    """The full distilled graph.  Callers should persist ``extracted``
-    first (pipeline.py does) so the six branches share one scan."""
+def _arr(col: Column) -> Column:
+    """null array -> empty array (rfc_header is null for non-rfc docs)."""
+    return F.coalesce(col, F.array())
+
+
+def fused_scalar_triples(extracted: DataFrame,
+                         extra_structs: list[Column] | None = None) -> DataFrame:
+    """Branches 1+2+4+5+6 in ONE scan + ONE explode: every per-row
+    triple source (doc scalars, header people/relations, sections,
+    citations) is concatenated into a single array<struct> before the
+    Generate.  Equivalent to unioning the per-branch functions above
+    (which remain as the readable spec / unit-test surface), but emits
+    1 map stage instead of 5 — on a cluster that is 4 fewer scans of the
+    extracted table; in local mode it also cuts task-launch overhead,
+    which dominates at fixture scale."""
+    e = extracted.where("parse_ok")
+    rdf_type = _alias_case({a: r["rdf_type"] for a, r in REPOS.items()})
+    classname = _alias_case({a: r["classname"] for a, r in REPOS.items()})
+    h = F.col("rfc_header")
+    identifier = F.coalesce(h["identifier"], F.col("basefile"))
+    doc = F.col("doc_uri")
+
+    fixed = [
+        _ts(doc, ns.RDF_TYPE, rdf_type, True),
+        _ts(doc, ns.DCT_TITLE, F.col("title"), lang=F.col("lang")),
+        _ts(doc, ns.DCT_IDENTIFIER, identifier),
+        _ts(doc, ns.PROV_WASGENERATEDBY, classname),
+        _ts(doc, ns.DCT_ISSN, h["issn"]),
+        _ts(doc, ns.DCT_ISSUED, h["issued"], datatype=ns.XSD_GYEARMONTH),
+    ]
+    for key, (pred, dtype) in KNOWN_HEAD_META.items():
+        fixed.append(_ts(doc, pred, F.col("head_meta").getItem(key),
+                         datatype=dtype))
+
+    creators = F.transform(_arr(h["creators"]),
+                           lambda c: _ts(doc, ns.DCT_CREATOR, c))
+    rights = F.transform(_arr(h["rightsholders"]),
+                         lambda c: _ts(doc, ns.DCT_RIGHTSHOLDER, c))
+
+    def _mint_rel(pred):
+        def inner(x):
+            minted = compile_coin(
+                RFC_COIN_TEMPLATES, BASE_URL,
+                {"rfcnum": x, "secref": F.lit(None).cast("string")})
+            return _ts(doc, pred, minted, True)
+        return inner
+
+    updates = F.transform(_arr(h["updates"]), _mint_rel(ns.RFC_UPDATES))
+    obsoletes = F.transform(_arr(h["obsoletes"]), _mint_rel(ns.RFC_OBSOLETES))
+
+    def _section_structs(s):
+        subj = F.concat(doc, F.lit("#"), _frag(s["ordinal"]))
+        parent = F.when(s["parent_ordinal"].isNull(), doc).otherwise(
+            F.concat(doc, F.lit("#"), _frag(s["parent_ordinal"])))
+        chapter = F.when(~s["ordinal"].startswith("PS"), s["ordinal"])
+        return F.array(
+            _ts(subj, ns.RDF_TYPE, ns.BIBO_DOCUMENTPART, True),
+            _ts(subj, ns.DCT_TITLE, s["title"], lang=F.col("lang")),
+            _ts(subj, ns.DCT_ISPARTOF, parent, True),
+            _ts(subj, ns.BIBO_CHAPTER, chapter),
+        )
+
+    sections = F.flatten(F.transform(_arr(F.col("sections")),
+                                     _section_structs))
+
+    def _citation_struct(c):
+        subj = F.when(c["section_ordinal"].isNull(), doc).otherwise(
+            F.concat(doc, F.lit("#"), _frag(c["section_ordinal"])))
+        minted = compile_coin(
+            RFC_COIN_TEMPLATES, BASE_URL,
+            {"rfcnum": c["rfcnum"], "secref": c["secref"]})
+        obj = F.when(c["kind"] == "url", c["url"]).otherwise(minted)
+        return _ts(subj, ns.DCT_REFERENCES, obj, True)
+
+    citations = F.transform(_arr(F.col("citations")), _citation_struct)
+
+    allt = F.concat(F.array(*fixed), creators, rights, updates, obsoletes,
+                    sections, citations, *(extra_structs or []))
     return (
-        doc_scalar_triples(extracted)
+        e.select("url", F.explode(allt).alias("t"))
+        .where(F.col("t.obj").isNotNull())
+        .select("url", "t.subj", "t.pred", "t.obj", "t.obj_is_uri",
+                "t.obj_lang", "t.obj_datatype")
+    )
+
+
+# dictionaries up to this size are compiled into literal map expressions
+# (constant-folded by Catalyst, zero join); larger ones broadcast-join;
+# ones too big to broadcast go through canonicalize.salted_join
+_LITERAL_DICT_MAX = 10_000
+
+
+def _label_link_structs(commondata_rows: list[dict]):
+    """J1 as pure column logic: the label->URI dictionary becomes a
+    literal map expression — the columnar twin of the reference's
+    in-memory graph lookup (documentrepository.py:439-485), valid
+    whenever the dictionary fits the driver (publishers/categories are
+    dozens of rows).  Returns struct-builders for the fused pass."""
+    out = []
+    h = F.col("rfc_header")
+    for field_name, lookup_pred, pred in [
+        ("publisher", ns.FOAF_NAME, ns.DCT_PUBLISHER),
+        ("category", ns.BIBO_IDENTIFIER, ns.DCT_SUBJECT),
+    ]:
+        entries = [(r["label"], r["uri"]) for r in commondata_rows
+                   if r["pred"] == lookup_pred]
+        label = h[field_name]
+        if entries:
+            flat = []
+            for k, v in entries:
+                flat += [F.lit(k), F.lit(v)]
+            ent_uri = F.element_at(F.create_map(*flat), label)
+        else:
+            ent_uri = F.lit(None).cast("string")
+        obj = F.coalesce(ent_uri, label)
+        out.append(F.when(
+            label.isNotNull(),
+            F.array(_ts(F.col("doc_uri"), pred, obj, ent_uri.isNotNull()))
+        ).otherwise(F.array()))
+    return out
+
+
+def all_triples(extracted: DataFrame, commondata: DataFrame) -> DataFrame:
+    """The full distilled graph; set semantics (reference distilled
+    graphs are triple SETS) via one final dropDuplicates.
+
+    Strategy: when the entity dictionary is small enough to collect
+    (it is config-scale data in the reference — res/extra/*.ttl), the
+    J1 label lookup compiles into the fused single-pass emission as a
+    literal map => the WHOLE lift is one map stage + one dedup shuffle.
+    Otherwise fall back to the broadcast-join branch (and for
+    dictionaries beyond broadcast size, canonicalize.salted_join)."""
+    dict_rows = None
+    if commondata.count() <= _LITERAL_DICT_MAX:
+        dict_rows = [r.asDict() for r in commondata.collect()]
+
+    if dict_rows is not None:
+        fused = fused_scalar_triples(extracted,
+                                     extra_structs=_label_link_structs(dict_rows))
+        return fused.dropDuplicates(["url", "subj", "pred", "obj",
+                                     "obj_lang", "obj_datatype"])
+    return (
+        fused_scalar_triples(extracted)
         .unionByName(label_link_triples(extracted, commondata))
-        .unionByName(updates_obsoletes_triples(extracted))
-        .unionByName(section_triples(extracted))
-        .unionByName(citation_triples(extracted))
         .dropDuplicates(["url", "subj", "pred", "obj", "obj_lang",
                          "obj_datatype"])
     )

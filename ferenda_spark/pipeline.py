@@ -9,18 +9,26 @@ Spark scheduler:
   1. pending = anti-join of web_pages against the entries checkpoint
      (exact resume; checkpoint.py)
   2. extract: one narrow mapInPandas pass (operators/extract.py)
-  3. triples: six columnar lift branches over the persisted extracted
-     table (operators/triples.py)
+  3. triples: fused single-pass columnar lift over the persisted
+     extracted table (operators/triples.py)
   4. relate: dependency self-join + skeleton anti-join
      (operators/canonicalize.py)
-  5. write: triples partitioned by (pred_bucket, crawl_date) — the
-     Iceberg layout from SURVEY §1.3; parquet stand-in locally.
+  5. write: triples partitioned by (batch, pred_bucket, crawl_date) —
+     the Iceberg layout from SURVEY §1.3; parquet stand-in locally.
 
 Partitioning rationale (100 TB): predicate frequency is Zipfian, so
 partitioning raw ``pred`` would produce a handful of huge partitions;
 ``pred_bucket = pmod(xxhash64(pred), N_PRED_BUCKETS)`` bounds partition
 count while still enabling partition pruning for predicate-filtered
 queries.  crawl_date enables incremental-load pruning.
+
+Exactly-once incremental commits WITHOUT Iceberg's MERGE INTO: each
+run's pending set gets a deterministic ``batch`` id (hash of its
+(url, content) keys); extracted/triples are written with DYNAMIC
+partition overwrite keyed on batch.  Re-running a failed batch
+overwrites only its own partitions (idempotent); completed batches are
+never touched; a no-op resume (empty pending set) writes nothing.
+On Iceberg the same contract is a MERGE INTO / snapshot commit.
 """
 
 from __future__ import annotations
@@ -49,13 +57,37 @@ def with_partition_cols(triples: DataFrame, warc_ts_by_url: DataFrame) -> DataFr
     )
 
 
+def batch_id(todo: DataFrame) -> str:
+    """Deterministic id of a pending set: order-insensitive hash of its
+    (url, content) keys.  The same failed batch re-runs under the same
+    id => dynamic partition overwrite makes the retry idempotent."""
+    # per-row hash reduced mod p, summed as decimal(38,0): overflow-free
+    # (ANSI mode) up to ~10^28 rows
+    p = 1_000_000_007
+    row = todo.select(
+        F.count("*").alias("n"),
+        F.sum(F.pmod(F.xxhash64("url", "html"), F.lit(p))
+              .cast("decimal(38,0)")).alias("h")).collect()[0]
+    h = int(row["h"] or 0) % (1 << 48)
+    return f"{row['n']}x{h:012x}"
+
+
 @dataclass
 class RunResult:
     n_pages: int
-    n_extracted: int
-    n_triples: int
+    n_extracted: int     # this batch
+    n_triples: int       # this batch
+    n_triples_total: int  # whole table after commit
     n_dependencies: int
     wall_s: float
+    batch: str | None = None
+
+
+def _count_or_zero(spark: SparkSession, path: str) -> int:
+    try:
+        return spark.read.parquet(path).count()
+    except Exception:
+        return 0
 
 
 def run(
@@ -67,28 +99,48 @@ def run(
     input_partitions: int | None = None,
 ) -> RunResult:
     t0 = time.time()
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     entries = (checkpoint.read_entries(spark, entries_path)
                if entries_path else None)
     todo = checkpoint.pending(web_pages, entries)
     if input_partitions:
         todo = todo.repartition(input_partitions, "url")
 
-    extracted = extract(todo)
-    # persist the extract output: 6 lift branches + entries share one scan
-    extracted.write.mode("overwrite").parquet(f"{out_dir}/extracted")
-    extracted = spark.read.parquet(f"{out_dir}/extracted")
+    if todo.isEmpty():
+        # no-op resume: touch nothing (the destructive alternative —
+        # overwriting the table with an empty batch — is exactly what
+        # the checkpoint contract forbids)
+        return RunResult(
+            n_pages=web_pages.count(), n_extracted=0, n_triples=0,
+            n_triples_total=_count_or_zero(spark, f"{out_dir}/triples"),
+            n_dependencies=_count_or_zero(spark, f"{out_dir}/dependencies"),
+            wall_s=time.time() - t0, batch=None)
+
+    batch = batch_id(todo)
+
+    extracted = extract(todo).withColumn("batch", F.lit(batch))
+    # materialize the extract output: the triples branches + entries
+    # share one scan, and downstream reads prune columns (parquet)
+    (extracted.write.mode("overwrite").partitionBy("batch")
+     .parquet(f"{out_dir}/extracted"))
+    extracted = (spark.read.parquet(f"{out_dir}/extracted")
+                 .where(F.col("batch") == batch))
     n_extracted = extracted.count()
 
-    triples = all_triples(extracted, commondata)
+    triples = all_triples(extracted.drop("batch"), commondata)
     warc_ts = extracted.select("url", "warc_ts")
-    partitioned = with_partition_cols(triples, warc_ts)
+    partitioned = (with_partition_cols(triples, warc_ts)
+                   .withColumn("batch", F.lit(batch)))
     (partitioned.write.mode("overwrite")
-     .partitionBy("pred_bucket", "crawl_date")
+     .partitionBy("batch", "pred_bucket", "crawl_date")
      .parquet(f"{out_dir}/triples"))
-    triples_out = spark.read.parquet(f"{out_dir}/triples")
-    n_triples = triples_out.count()
 
-    deps = canonicalize.dependency_join(triples_out)
+    triples_all = spark.read.parquet(f"{out_dir}/triples")
+    n_triples_total = triples_all.count()
+    n_triples = triples_all.where(F.col("batch") == batch).count()
+
+    # derived table: recomputed over the full graph each commit
+    deps = canonicalize.dependency_join(triples_all)
     deps.write.mode("overwrite").parquet(f"{out_dir}/dependencies")
     n_deps = spark.read.parquet(f"{out_dir}/dependencies").count()
 
@@ -101,6 +153,8 @@ def run(
         n_pages=web_pages.count(),
         n_extracted=n_extracted,
         n_triples=n_triples,
+        n_triples_total=n_triples_total,
         n_dependencies=n_deps,
         wall_s=time.time() - t0,
+        batch=batch,
     )

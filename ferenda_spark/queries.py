@@ -34,6 +34,22 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def _read_wide(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Read + round-robin repartition to the session's parallelism.
+
+    The local testdata tables are single parquet files => a 1-partition
+    scan, which would serialize every downstream narrow expression (the
+    shingle explode alone costs ~10 s on one core at sf0.1).  At 100 TB
+    the scan has thousands of splits and this repartition is a no-op
+    decision — but expression-heavy stages after a *small dimension*
+    scan still need it on any cluster."""
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df
+
+
 def _h(col) -> F.Column:
     """Portable 60-bit hash (see module docstring)."""
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
@@ -60,7 +76,7 @@ sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] AS tok
 
 
 def _shingles_df(spark, sf_dir) -> DataFrame:
-    d = _read(spark, sf_dir, "documents")
+    d = _read_wide(spark, sf_dir, "documents")
     return (d.withColumn("ts", F.expr(_TOKS))
             .withColumn("sh", F.expr(_SHINGLES))
             .select("doc_id", F.explode("sh").alias("tok")))
@@ -206,14 +222,23 @@ def q_dedup_exact(spark, sf_dir):
 
 
 _N_MINHASH = 8
+# affine permutations over Z_p: ONE md5 per shingle, 8 derived hashes
+# (a_j * h + b_j) mod p — 8x less hashing than md5-per-permutation, and
+# portable (identical integer arithmetic in Spark and DuckDB).
+_MH_P = 2147483647
+_MH_A = [179424673, 257885161, 373587883, 479001599,
+         618970019, 715827883, 858599503, 982451653]
+_MH_B = [15485863, 32452843, 49979687, 67867967,
+         86028121, 104395301, 122949823, 141650939]
 
 
 def q_dedup_minhash_signature(spark, sf_dir):
-    """MinHash signatures (8 perms) over distinct word-bigram shingles —
-    the scale path for near-dup detection (shingle -> minhash -> band)."""
-    sh = _shingles_df(spark, sf_dir)
-    aggs = [F.min(_h(F.concat("tok", F.lit(f"#{j}")))).alias(f"mh{j}")
-            for j in range(_N_MINHASH)]
+    """MinHash signatures (8 affine perms) over distinct word-bigram
+    shingles — the scale path for near-dup detection
+    (shingle -> minhash -> band)."""
+    sh = _shingles_df(spark, sf_dir).withColumn("hp", _h(F.col("tok")) % _MH_P)
+    aggs = [F.min((F.lit(_MH_A[j]) * F.col("hp") + F.lit(_MH_B[j])) % _MH_P)
+            .alias(f"mh{j}") for j in range(_N_MINHASH)]
     return sh.groupBy("doc_id").agg(*aggs)
 
 
@@ -263,7 +288,7 @@ def q_dedup_lsh_pairs(spark, sf_dir):
 
 def q_dedup_simhash(spark, sf_dir):
     """16-bit SimHash over token multiset (frequency-weighted)."""
-    d = _read(spark, sf_dir, "documents")
+    d = _read_wide(spark, sf_dir, "documents")
     tok = (d.withColumn("ts", F.expr(_TOKS))
            .select("doc_id", F.explode("ts").alias("tok"))
            .withColumn("h", _h(F.col("tok"))))
@@ -305,7 +330,7 @@ def q_ann_cosine_topk(spark, sf_dir):
 
 def q_text_lang_id(spark, sf_dir):
     """Language-ID heuristic: English function-word hit ratio."""
-    d = _read(spark, sf_dir, "documents")
+    d = _read_wide(spark, sf_dir, "documents")
     stop = ("the", "a", "of", "and", "to")
     t = (d.withColumn("ts", F.expr(_TOKS))
          .select("doc_id", "ts",
@@ -323,7 +348,7 @@ def q_text_lang_id(spark, sf_dir):
 
 def q_text_quality_score(spark, sf_dir):
     """Quality scoring: token count, type-token ratio, length-capped score."""
-    d = _read(spark, sf_dir, "documents")
+    d = _read_wide(spark, sf_dir, "documents")
     t = d.withColumn("ts", F.expr(_TOKS))
     n = F.size("ts").cast("long")
     nd = F.size(F.array_distinct("ts")).cast("long")
@@ -340,7 +365,7 @@ def q_text_quality_score(spark, sf_dir):
 
 def q_text_token_count(spark, sf_dir):
     """Token counting: regex tokens + whitespace tokens."""
-    d = _read(spark, sf_dir, "documents")
+    d = _read_wide(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         F.size(F.expr(_TOKS)).cast("long").alias("n_tokens"),
@@ -351,7 +376,7 @@ def q_text_token_count(spark, sf_dir):
 
 def q_doc_fingerprint(spark, sf_dir):
     """Document fingerprinting: full-content hash + prefix fingerprint."""
-    d = _read(spark, sf_dir, "documents")
+    d = _read_wide(spark, sf_dir, "documents")
     t = d.withColumn("ts", F.expr(_TOKS))
     prefix = F.concat_ws(" ", F.slice("ts", 1, 8))
     return t.select(
@@ -424,6 +449,252 @@ def q_tpch_q1_pricing(spark, sf_dir):
             ))
 
 
+def q_citations_rfc_regex(spark, sf_dir):
+    """C1/C4/C5 columnar citation recognition + C3 URI formatting: scan a
+    citation-bearing text column with the RFC grammar regexes
+    (rfc.py:429-451) and mint target URIs (uriformatter.py:7-52).  The
+    citation text is synthesized deterministically per doc so the oracle
+    can reproduce it."""
+    d = _read(spark, sf_dir, "documents")
+    cite = F.concat(
+        F.lit("see RFC "), ((F.col("doc_id") % 3000) + 1).cast("string"),
+        F.lit(", and section "), ((F.col("doc_id") % 9) + 1).cast("string"),
+        F.lit("."), (F.col("doc_id") % 4).cast("string"),
+        F.lit(" of RFC "), (((F.col("doc_id") * 3) % 3000) + 1).cast("string"))
+    t = d.select("doc_id", cite.alias("cite_text"))
+    sec = F.regexp_extract("cite_text",
+                           r"section (\d+(?:\.\d+)*) of RFC (\d+)", 1)
+    sec_rfc = F.regexp_extract("cite_text",
+                               r"section (\d+(?:\.\d+)*) of RFC (\d+)", 2)
+    bare = F.regexp_extract("cite_text", r"see RFC (\d+)", 1)
+    bare_row = F.struct(F.lit("rfc").alias("kind"), bare.alias("rfcnum"),
+                        F.lit(None).cast("string").alias("secref"))
+    sec_row = F.struct(F.lit("rfc_section").alias("kind"),
+                       sec_rfc.alias("rfcnum"), sec.alias("secref"))
+    out = (t.select("doc_id", F.explode(F.array(bare_row, sec_row)).alias("c"))
+           .select("doc_id", "c.kind", "c.rfcnum", "c.secref"))
+    uri = F.concat(
+        F.lit(BASE + "res/rfc/"), F.col("rfcnum"),
+        F.when(F.col("secref").isNotNull(),
+               F.concat(F.lit("#S"), F.col("secref"))).otherwise(F.lit("")))
+    return out.withColumn("minted_uri", uri)
+
+
+def q_facet_year_selector(spark, sf_dir):
+    """A5 year() selector + A3 pageset: distinct years with counts
+    (facet.py:156-175; toc_pagesets)."""
+    e = _read(spark, sf_dir, "events")
+    return (e.groupBy(F.year("ts").cast("long").alias("year"))
+            .agg(F.count("*").cast("long").alias("n")))
+
+
+def q_facet_title_sortkey(spark, sf_dir):
+    """A5 title_sortkey: lowercase, strip leading 'the ', strip
+    non-alphanumerics (util.title_sortkey, util.py:722-731)."""
+    d = _read(spark, sf_dir, "documents")
+    k = F.lower(F.substring(F.trim("text"), 1, 30))
+    k = F.regexp_replace(k, "^the ", "")
+    k = F.regexp_replace(k, "[^a-z0-9 ]", "")
+    k = F.trim(F.regexp_replace(k, " +", " "))
+    return d.select("doc_id", k.alias("sortkey"))
+
+
+def q_fulltext_search_paging(spark, sf_dir):
+    """A8 fulltext query + paging: term filter, deterministic rank, page 2
+    (wsgiapp.query, wsgiapp.py:404-571; pagenum/pagelen)."""
+    d = _read(spark, sf_dir, "documents")
+    return (d.where(F.col("text").contains("spark"))
+            .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+            .select("doc_id", "n_chars")
+            .offset(10).limit(10))
+
+
+def q_kg_set_diff(spark, sf_dir):
+    """Set ops (§2.6): graph difference via EXCEPT ALL — triples of
+    non-English docs = full lift minus English-doc lift
+    (rdflib.compare.graph_diff analog, decorators.py:213)."""
+    full = _lift(spark, sf_dir)
+    d = _read(spark, sf_dir, "documents")
+    en_subj = (d.where(F.col("lang") == "en")
+               .select(F.concat(F.lit(BASE + "res/"), "source", F.lit("/"),
+                                F.col("doc_id").cast("string")).alias("subj")))
+    en_lift = full.join(en_subj, "subj", "left_semi")
+    return full.exceptAll(en_lift)
+
+
+def q_kg_set_intersect(spark, sf_dir):
+    """Set ops (§2.6): graph intersection (DISTINCT semantics) — triples
+    of docs that are both English and longer than 200 chars."""
+    full = _lift(spark, sf_dir)
+    d = _read(spark, sf_dir, "documents")
+    subj = F.concat(F.lit(BASE + "res/"), "source", F.lit("/"),
+                    F.col("doc_id").cast("string"))
+    en = full.join(d.where(F.col("lang") == "en").select(subj.alias("subj")),
+                   "subj", "left_semi")
+    big = full.join(d.where(F.col("n_chars") > 200).select(subj.alias("subj")),
+                    "subj", "left_semi")
+    return en.intersect(big)
+
+
+def q_dependency_closure_2hop(spark, sf_dir):
+    """J3 annotation closure shape: bounded transitive closure (depth 2)
+    of the reference graph via chained self-joins — the Spark form of the
+    SPARQL isPartOf*/references construct (annotations.rq:1-19,
+    documentrepository.py:2471-2502)."""
+    d = _read(spark, sf_dir, "documents")
+    n = d.count()
+    refs = d.select(F.col("doc_id").alias("src"),
+                    ((F.col("doc_id") * 7 + 3) % n).alias("dst"))
+    refs = refs.where(F.col("src") != F.col("dst"))
+    hop2 = (refs.alias("a")
+            .join(refs.alias("b"), F.col("a.dst") == F.col("b.src"))
+            .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+            .where(F.col("src") != F.col("dst")))
+    return (refs.select("src", "dst", F.lit(1).cast("long").alias("depth"))
+            .unionByName(hop2.select("src", "dst",
+                                     F.lit(2).cast("long").alias("depth")))
+            .groupBy("src", "dst")
+            .agg(F.min("depth").cast("long").alias("depth")))
+
+
+def _vec(spark, sf_dir):
+    return (_read_wide(spark, sf_dir, "embeddings")
+            .select("vec_id", F.col("embedding").cast("array<double>")
+                    .alias("v")))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _cos(a, b):
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-style ANN (scale path): vectors are assigned to the nearest of
+    4 fixed centroids (coarse quantizer), and each query searches only
+    its own cluster — probing 1/K of the corpus instead of all of it.
+    Centroids here are vec_id 0..3 (deterministic stand-ins for k-means
+    output, which would be refreshed offline at scale)."""
+    e = _vec(spark, sf_dir)
+    cent = e.where("vec_id < 4").select(F.col("vec_id").alias("cent_id"),
+                                        F.col("v").alias("cv"))
+    assigned = (e.join(F.broadcast(cent))
+                .withColumn("cos_c", _cos(F.col("v"), F.col("cv")))
+                .withColumn("rn", F.row_number().over(
+                    Window.partitionBy("vec_id")
+                    .orderBy(F.desc("cos_c"), F.asc("cent_id"))))
+                .where("rn = 1")
+                .select("vec_id", "v", F.col("cent_id").alias("cluster")))
+    q = (assigned.where("vec_id < 5")
+         .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
+                 "cluster"))
+    c = assigned.select(F.col("vec_id").alias("cid"),
+                        F.col("v").alias("cv2"), "cluster")
+    pairs = (q.join(c, "cluster").where(F.col("qid") != F.col("cid"))
+             .withColumn("cos", F.round(_cos(F.col("qv"), F.col("cv2")), 3)))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
+    return (pairs.select("qid", "cluster", "cid", "cos",
+                         F.row_number().over(w).cast("long").alias("rn"))
+            .where(F.col("rn") <= 3))
+
+
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup: candidate pairs from a 4-bit
+    random-hyperplane (sign) bucket — only same-bucket pairs are scored,
+    never all-pairs — then cosine >= 0.25 survives."""
+    e = _vec(spark, sf_dir)
+    bucket = sum((F.when(F.element_at("v", i + 1) > 0, 1 << i).otherwise(0))
+                 for i in range(4))
+    b = e.withColumn("bucket", bucket.cast("long"))
+    a_side = b.select(F.col("vec_id").alias("vec_a"),
+                      F.col("v").alias("va"), "bucket")
+    b_side = b.select(F.col("vec_id").alias("vec_b"),
+                      F.col("v").alias("vb"), "bucket")
+    return (a_side.join(b_side, "bucket")
+            .where(F.col("vec_a") < F.col("vec_b"))
+            .withColumn("cos", F.round(_cos(F.col("va"), F.col("vb")), 3))
+            .where(F.col("cos") >= 0.25)
+            .select("bucket", "vec_a", "vec_b", "cos"))
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Token-trigram Jaccard near-dup with first-bigram blocking: docs
+    sharing their opening word bigram are candidates (cheap blocking
+    key); trigram-set Jaccard is computed only within blocks."""
+    d = _read_wide(spark, sf_dir, "documents")
+    t = (d.withColumn("ts", F.expr(_TOKS)).where(F.size("ts") >= 3)
+         .withColumn("block",
+                     F.concat_ws(" ", F.element_at("ts", 1),
+                                 F.element_at("ts", 2))))
+    tri = ("array_distinct(transform(sequence(0, size(ts)-3), "
+           "i -> concat(element_at(ts, i+1), ' ', element_at(ts, i+2), "
+           "' ', element_at(ts, i+3))))")
+    g = (t.withColumn("tri", F.expr(tri))
+         .select("doc_id", "block", F.explode("tri").alias("tok")))
+    sizes = g.groupBy("doc_id").agg(F.count("*").alias("n"))
+    cand = (t.alias("a").join(t.alias("b"), "block")
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b")))
+    inter = (cand.join(g.alias("x"), F.col("x.doc_id") == F.col("doc_a"))
+             .join(g.alias("y"), (F.col("y.doc_id") == F.col("doc_b"))
+                   & (F.col("x.tok") == F.col("y.tok")))
+             .groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter")))
+    return (cand.join(inter, ["doc_a", "doc_b"], "left")
+            .na.fill({"inter": 0})
+            .join(sizes.withColumnRenamed("doc_id", "doc_a")
+                  .withColumnRenamed("n", "na"), "doc_a")
+            .join(sizes.withColumnRenamed("doc_id", "doc_b")
+                  .withColumnRenamed("n", "nb"), "doc_b")
+            .select("doc_a", "doc_b",
+                    F.round(F.col("inter")
+                            / (F.col("na") + F.col("nb") - F.col("inter")),
+                            4).alias("jaccard")))
+
+
+def q_events_hourly_windows(spark, sf_dir):
+    """Streaming-shaped tumbling-window aggregation (batch equivalent of
+    the Structured Streaming path in ferenda_spark.streaming): per-hour
+    per-type counts + value sums."""
+    e = _read(spark, sf_dir, "events")
+    return (e.groupBy(F.date_trunc("hour", "ts").alias("window_start"),
+                      "event_type")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.round(F.sum("value"), 2).alias("sum_value")))
+
+
+def q_tpch_q3_shipping(spark, sf_dir):
+    """Join-heavy anchor (TPC-H Q3 shape): broadcast dim filter + two
+    shuffle joins + agg + top-10."""
+    cust = _read(spark, sf_dir, "customer").where("c_mktsegment = 'BUILDING'")
+    orders = _read(spark, sf_dir, "orders").where("o_orderdate < '1995-03-15'")
+    li = _read(spark, sf_dir, "lineitem").where("l_shipdate > '1995-03-15'")
+    j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey))
+    return (j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("o_orderdate"),
+                     F.asc("l_orderkey"))
+            .limit(10))
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing: Arrow-batched feature extraction over opaque
+    media blobs (decode stubbed — see operators/multimodal.py).  Not
+    SQL-expressible (pandas UDF) -> rows-only check."""
+    from ferenda_spark.operators.multimodal import (extract_features,
+                                                    synth_media_df)
+    n = 600 if "0.1" in sf_dir else 200
+    media = synth_media_df(spark, n).repartition(
+        spark.sparkContext.defaultParallelism)
+    return extract_features(media)
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB dialect = ANSI here), keyed by query name
 
@@ -492,12 +763,16 @@ FROM documents
 """
 
 _mh_cols_sql = ", ".join(
-    "min(" + _H_SQL.format(x=f"tok || '#{j}'") + f") AS mh{j}"
+    f"min(({_MH_A[j]} * hp + {_MH_B[j]}) % {_MH_P}) AS mh{j}"
     for j in range(_N_MINHASH))
 
+_HP_CTE = (f"shp AS (SELECT doc_id, "
+           f"{_H_SQL.format(x='tok')} % {_MH_P} AS hp FROM sh)")
+
 ORACLE["dedup_minhash_signature"] = f"""
-WITH {_SHINGLES_CTE.strip()}
-SELECT doc_id, {_mh_cols_sql} FROM sh GROUP BY doc_id
+WITH {_SHINGLES_CTE.strip()},
+{_HP_CTE}
+SELECT doc_id, {_mh_cols_sql} FROM shp GROUP BY doc_id
 """
 
 _band_sql = " UNION ALL ".join(
@@ -507,7 +782,8 @@ _band_sql = " UNION ALL ".join(
 
 ORACLE["dedup_lsh_pairs"] = f"""
 WITH {_SHINGLES_CTE.strip()},
-sig AS (SELECT doc_id, {_mh_cols_sql} FROM sh GROUP BY doc_id),
+{_HP_CTE},
+sig AS (SELECT doc_id, {_mh_cols_sql} FROM shp GROUP BY doc_id),
 bands AS ({_band_sql}),
 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM bands a JOIN bands b
@@ -629,6 +905,176 @@ SELECT DISTINCT (doc_id * 7 + 3) AS missing_id FROM documents
 WHERE (doc_id * 7 + 3) NOT IN (SELECT doc_id FROM documents)
 """
 
+ORACLE["citations_rfc_regex"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         'see RFC ' || ((doc_id % 3000) + 1)::VARCHAR ||
+         ', and section ' || ((doc_id % 9) + 1)::VARCHAR || '.' ||
+         (doc_id % 4)::VARCHAR ||
+         ' of RFC ' || (((doc_id * 3) % 3000) + 1)::VARCHAR AS cite_text
+  FROM documents),
+c AS (
+  SELECT doc_id, 'rfc' AS kind,
+         regexp_extract(cite_text, 'see RFC (\\d+)', 1) AS rfcnum,
+         NULL AS secref
+  FROM t
+  UNION ALL
+  SELECT doc_id, 'rfc_section',
+         regexp_extract(cite_text, 'section (\\d+(?:\\.\\d+)*) of RFC (\\d+)', 2),
+         regexp_extract(cite_text, 'section (\\d+(?:\\.\\d+)*) of RFC (\\d+)', 1)
+  FROM t)
+SELECT doc_id, kind, rfcnum, secref,
+       '{BASE}res/rfc/' || rfcnum ||
+       (CASE WHEN secref IS NOT NULL THEN '#S' || secref ELSE '' END)
+         AS minted_uri
+FROM c
+"""
+
+ORACLE["facet_year_selector"] = """
+SELECT year(ts)::BIGINT AS year, count(*)::BIGINT AS n
+FROM events GROUP BY year(ts)
+"""
+
+ORACLE["facet_title_sortkey"] = """
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(regexp_replace(
+         lower(substr(trim(text), 1, 30)), '^the ', ''),
+         '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS sortkey
+FROM documents
+"""
+
+ORACLE["fulltext_search_paging"] = """
+SELECT doc_id, n_chars FROM documents
+WHERE text LIKE '%spark%'
+ORDER BY n_chars DESC, doc_id ASC
+LIMIT 10 OFFSET 10
+"""
+
+ORACLE["kg_set_diff"] = f"""
+WITH {_LIFT_CTE.strip()},
+en AS (SELECT '{BASE}res/' || source || '/' || doc_id::VARCHAR AS subj
+       FROM documents WHERE lang = 'en')
+SELECT * FROM lift
+EXCEPT ALL
+SELECT l.* FROM lift l WHERE l.subj IN (SELECT subj FROM en)
+"""
+
+ORACLE["kg_set_intersect"] = f"""
+WITH {_LIFT_CTE.strip()},
+en AS (SELECT '{BASE}res/' || source || '/' || doc_id::VARCHAR AS subj
+       FROM documents WHERE lang = 'en'),
+big AS (SELECT '{BASE}res/' || source || '/' || doc_id::VARCHAR AS subj
+        FROM documents WHERE n_chars > 200)
+SELECT l.* FROM lift l WHERE l.subj IN (SELECT subj FROM en)
+INTERSECT
+SELECT l.* FROM lift l WHERE l.subj IN (SELECT subj FROM big)
+"""
+
+ORACLE["dependency_closure_2hop"] = """
+WITH n AS (SELECT count(*) AS cnt FROM documents),
+refs AS (SELECT doc_id AS src, (doc_id * 7 + 3) % (SELECT cnt FROM n) AS dst
+         FROM documents
+         WHERE doc_id <> (doc_id * 7 + 3) % (SELECT cnt FROM n)),
+hop2 AS (SELECT a.src, b.dst FROM refs a JOIN refs b ON a.dst = b.src
+         WHERE a.src <> b.dst),
+allhops AS (
+  SELECT src, dst, 1 AS depth FROM refs
+  UNION ALL
+  SELECT src, dst, 2 FROM hop2)
+SELECT src, dst, min(depth)::BIGINT AS depth FROM allhops GROUP BY src, dst
+"""
+
+ORACLE["ann_ivf_topk"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 4),
+asg AS (
+  SELECT vec_id, v, cent_id AS cluster FROM (
+    SELECT e.vec_id, e.v, c.cent_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, c.cv)
+                      / (sqrt(list_dot_product(e.v, e.v))
+                         * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                      c.cent_id ASC) AS rn
+    FROM e CROSS JOIN cent c) WHERE rn = 1),
+p AS (
+  SELECT q.vec_id AS qid, q.cluster, c.vec_id AS cid,
+         round(list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(c.v, c.v))), 3) AS cos
+  FROM asg q JOIN asg c ON q.cluster = c.cluster AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < 5)
+SELECT * FROM (
+  SELECT qid, cluster, cid, cos,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos DESC, cid ASC)::BIGINT AS rn
+  FROM p) WHERE rn <= 3
+"""
+
+ORACLE["dedup_embedding_cosine"] = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         ((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+        + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+        + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+        + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END))::BIGINT AS bucket
+  FROM embeddings)
+SELECT a.bucket, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))), 3) AS cos
+FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v))), 3) >= 0.25
+"""
+
+ORACLE["dedup_ngram_jaccard"] = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS_SQL} AS ts FROM documents),
+tt AS (
+  SELECT doc_id, ts, ts[1] || ' ' || ts[2] AS block
+  FROM t WHERE len(ts) >= 3),
+g AS (
+  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS tok
+  FROM tt, unnest(range(1, len(ts) - 1)) AS u(i)),
+sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM tt a JOIN tt b ON a.block = b.block AND a.doc_id < b.doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cand c JOIN g x ON x.doc_id = c.doc_a
+  JOIN g y ON y.doc_id = c.doc_b AND y.tok = x.tok
+  GROUP BY 1, 2)
+SELECT c.doc_a, c.doc_b,
+       round(coalesce(i.inter, 0) * 1.0
+             / (sa.n + sb.n - coalesce(i.inter, 0)), 4) AS jaccard
+FROM cand c
+LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+"""
+
+ORACLE["events_hourly_windows"] = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*)::BIGINT AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+ORACLE["tpch_q3_shipping"] = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+LIMIT 10
+"""
+
 ORACLE["tpch_q1_pricing"] = """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
@@ -671,6 +1117,19 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dependency_join": q_dependency_join,
         "skeleton_anti_join": q_skeleton_anti_join,
         "tpch_q1_pricing": q_tpch_q1_pricing,
+        "citations_rfc_regex": q_citations_rfc_regex,
+        "facet_year_selector": q_facet_year_selector,
+        "facet_title_sortkey": q_facet_title_sortkey,
+        "fulltext_search_paging": q_fulltext_search_paging,
+        "kg_set_diff": q_kg_set_diff,
+        "kg_set_intersect": q_kg_set_intersect,
+        "dependency_closure_2hop": q_dependency_closure_2hop,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "events_hourly_windows": q_events_hourly_windows,
+        "tpch_q3_shipping": q_tpch_q3_shipping,
+        "multimodal_features": q_multimodal_features,
     }
 
 

@@ -1,0 +1,82 @@
+"""Scalar function library: Spark Column expressions vs their pure-
+Python twins (SURVEY.md §2 A5 + §2.6)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ferenda_spark import functions as FN
+
+STRINGS = [
+    "The  Quick\t brown fox!",
+    "  RFC 10 beats RFC 9  ",
+    "protocol (2nd ed.)",
+    "",
+    "åäö already lower",
+]
+
+
+@pytest.fixture(scope="module")
+def sdf(spark):
+    return spark.createDataFrame([(s,) for s in STRINGS], "s string")
+
+
+def _col_vs_py(sdf, col_fn, py_fn):
+    got = [r.o for r in sdf.select(col_fn(F.col("s")).alias("o")).collect()]
+    want = [py_fn(s) for s in STRINGS]
+    assert got == want, f"{got} != {want}"
+
+
+def test_normalize_space(sdf):
+    _col_vs_py(sdf, FN.normalize_space, FN.normalize_space_py)
+
+
+def test_title_sortkey(sdf):
+    _col_vs_py(sdf, FN.title_sortkey, FN.title_sortkey_py)
+
+
+def test_natural_sort_key(spark):
+    vals = ["RFC 9", "RFC 10", "RFC 100", "a2b10", "a10b2", "nodigits"]
+    sdf = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = [r.o for r in
+           sdf.select(FN.natural_sort_key(F.col("s")).alias("o")).collect()]
+    want = [FN.natural_sort_key_py(v) for v in vals]
+    assert got == want
+    # the point: sorting the keys gives natural order
+    ordered = [v for _, v in sorted(zip(got[:3], vals[:3]))]
+    assert ordered == ["RFC 9", "RFC 10", "RFC 100"]
+
+
+def test_from_roman(spark):
+    vals = ["iv", "MCMXCIV", "xiii", "i", "mmxxiv"]
+    sdf = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = [r.o for r in
+           sdf.select(FN.from_roman(F.col("s")).alias("o")).collect()]
+    assert got == [4, 1994, 13, 1, 2024]
+    assert got == [FN.from_roman_py(v) for v in vals]
+
+
+def test_uri_leaf_ucfirst_slug(spark):
+    sdf = spark.createDataFrame(
+        [("http://ex.org/res/rfc/7230#S1.2", "hello world")], "u string, t string")
+    row = sdf.select(
+        FN.uri_leaf(F.col("u")).alias("leaf"),
+        FN.ucfirst(F.col("t")).alias("uc"),
+        FN.slugify(F.col("t")).alias("slug"),
+    ).collect()[0]
+    assert row.leaf == "S1.2"
+    assert row.uc == "Hello world"
+    assert row.slug == "hello+world"
+    assert FN.uri_leaf_py("http://ex.org/res/rfc/7230#S1.2") == "S1.2"
+
+
+def test_year_of_and_firstletter(spark):
+    sdf = spark.createDataFrame(
+        [("2006-09-17", " Zebra")], "d string, t string")
+    row = sdf.select(FN.year_of(F.col("d")).alias("y"),
+                     FN.firstletter(F.col("t")).alias("fl")).collect()[0]
+    assert row.y == 2006 and row.fl == "z"
+
+
+def test_base27():
+    assert [FN.base27_encode_py(n) for n in (1, 2, 26, 27, 28)] == \
+        ["a", "b", "z", "aa", "ab"]

@@ -35,12 +35,33 @@ def test_run_and_resume(spark, tmp_path_factory):
     todo = checkpoint.pending(pages, checkpoint.read_entries(spark, entries))
     assert todo.count() == 0
 
-    # a changed page (different bytes for same url) IS pending again
+    # a NO-OP resume must not touch the committed tables (regression:
+    # an empty batch used to overwrite triples/ with nothing)
+    res2 = pipeline.run(spark, pages, commondata_df(spark), out,
+                        entries_path=entries)
+    assert res2.n_extracted == 0 and res2.batch is None
+    assert res2.n_triples_total == res1.n_triples
+
+    # a changed page (different bytes for same url) IS pending again,
+    # and an incremental run commits it as a NEW batch while keeping
+    # every earlier batch's triples
     changed = pages.limit(1).withColumn(
         "html", F.to_binary(F.lit("<html><body><p>new</p></body></html>"),
                             F.lit("utf-8")))
     assert checkpoint.pending(
         changed, checkpoint.read_entries(spark, entries)).count() == 1
+    res3 = pipeline.run(spark, changed, commondata_df(spark), out,
+                        entries_path=entries)
+    assert res3.n_extracted == 1 and res3.batch is not None
+    assert res3.n_triples_total == res1.n_triples + res3.n_triples
+
+    # idempotent retry: re-running the SAME batch (same pending set,
+    # e.g. after a crash before the entries append) replaces its own
+    # partitions instead of duplicating them
+    res4 = pipeline.run(spark, changed, commondata_df(spark), out,
+                        entries_path=None)  # no checkpoint -> all pending
+    assert res4.batch == res3.batch
+    assert res4.n_triples_total == res3.n_triples_total
 
 
 def test_triples_partition_layout(spark, tmp_path_factory):

@@ -1,0 +1,57 @@
+"""Plan-shape regression tests: pushdown, pruning, broadcast, shuffle
+counts (SURVEY.md §4; task brief "explain and iterate")."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ferenda_spark import plans, queries as Q
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    d = (spark.read.parquet(f"{SF}/documents.parquet")
+         .where(F.col("lang") == "en").select("doc_id"))
+    assert plans.has_pushed_filter(d, "lang")
+
+
+def test_column_pruning(spark):
+    d = (spark.read.parquet(f"{SF}/documents.parquet")
+         .select("doc_id", "lang"))
+    schemas = plans.read_schema_columns(d)
+    assert schemas and all(set(s) <= {"doc_id", "lang"} for s in schemas)
+    # and the big text column is NOT read
+    assert all("text" not in s for s in schemas)
+
+
+def test_entity_link_broadcasts(spark):
+    df = Q.q_entity_link(spark, SF)
+    assert plans.has_broadcast_hash_join(df)
+    # the only shuffle allowed is the dim side's distinct(); the FACT
+    # side must not shuffle on the join key
+    assert plans.shuffle_exchange_count(df) <= 1
+
+
+def test_tpch_q3_broadcasts_customer(spark):
+    df = Q.q_tpch_q3_shipping(spark, SF)
+    assert plans.has_broadcast_hash_join(df)
+
+
+def test_lift_is_single_stage_codegen(spark):
+    # the triple lift is a pure narrow map: no shuffle at all
+    df = Q.q_kg_triples_lift(spark, SF)
+    assert plans.shuffle_exchange_count(df) == 0
+    assert plans.wholestage_codegen_count(df) >= 1
+
+
+def test_fused_triples_single_scan(spark):
+    """The fused emission must scan `extracted` once (plus zero joins
+    when the dictionary compiles to a literal map)."""
+    from ferenda_spark.fixtures.webpages import commondata_df, web_pages_df
+    from ferenda_spark.operators.extract import extract
+    from ferenda_spark.operators.triples import all_triples
+    t = all_triples(extract(web_pages_df(spark, 5)), commondata_df(spark))
+    plan = plans.explain_str(t, mode="simple")
+    assert "BroadcastHashJoin" not in plan      # literal map, not a join
+    # exactly one shuffle: the final set-dedup
+    assert plans.shuffle_exchange_count(t) == 1
