@@ -244,8 +244,15 @@ def q_dedup_minhash_signature(spark, sf_dir):
 
 def q_dedup_lsh_pairs(spark, sf_dir):
     """LSH banding (4 bands x 2 rows) over the minhash signatures ->
-    candidate pairs -> exact bigram-jaccard verification."""
-    sig = q_dedup_minhash_signature(spark, sf_dir)
+    candidate pairs -> exact bigram-jaccard verification.  The shingle
+    and signature tables feed multiple downstream joins, so persist
+    them (at cluster scale these are materialized intermediate
+    tables)."""
+    sh = _shingles_df(spark, sf_dir).persist()
+    sh2 = sh.withColumn("hp", _h(F.col("tok")) % _MH_P)
+    aggs = [F.min((F.lit(_MH_A[j]) * F.col("hp") + F.lit(_MH_B[j])) % _MH_P)
+            .alias(f"mh{j}") for j in range(_N_MINHASH)]
+    sig = sh2.groupBy("doc_id").agg(*aggs).persist()
     bands = []
     for b in range(4):
         key = F.md5(F.concat(
@@ -264,7 +271,6 @@ def q_dedup_lsh_pairs(spark, sf_dir):
         .select(F.col("a.doc_id").alias("doc_a"),
                 F.col("b.doc_id").alias("doc_b"))
         .distinct())
-    sh = _shingles_df(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     # intersections ONLY for LSH candidate pairs (never all-pairs — the
     # candidate set is what makes this viable at 10^9 docs)
@@ -633,9 +639,11 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
            "i -> concat(element_at(ts, i+1), ' ', element_at(ts, i+2), "
            "' ', element_at(ts, i+3))))")
     g = (t.withColumn("tri", F.expr(tri))
-         .select("doc_id", "block", F.explode("tri").alias("tok")))
+         .select("doc_id", "block", F.explode("tri").alias("tok"))
+         .persist())  # feeds both sides of the intersection join
     sizes = g.groupBy("doc_id").agg(F.count("*").alias("n"))
-    cand = (t.alias("a").join(t.alias("b"), "block")
+    tt = t.select("doc_id", "block").persist()  # slim blocking keys
+    cand = (tt.alias("a").join(tt.alias("b"), "block")
             .where(F.col("a.doc_id") < F.col("b.doc_id"))
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b")))
@@ -681,6 +689,156 @@ def q_tpch_q3_shipping(spark, sf_dir):
             .orderBy(F.desc("revenue"), F.asc("o_orderdate"),
                      F.asc("l_orderkey"))
             .limit(10))
+
+
+def q_faceted_data_dedup(spark, sf_dir):
+    """A2 faceted_data: facet pivot + drop duplicate uri rows
+    (faceted_data, documentrepository.py:2093-2142)."""
+    t = _lift(spark, sf_dir)
+    pivot = t.groupBy("subj").agg(
+        F.max(F.when(F.col("pred") == DCT + "language", F.col("obj")))
+        .alias("lang"),
+        F.max(F.when(F.col("pred") == DCT + "extent", F.col("obj")))
+        .alias("extent"),
+    )
+    return pivot.dropDuplicates(["subj"])
+
+
+def q_incremental_pending(spark, sf_dir):
+    """S3/S4 incremental ingestion: pending = anti-join of the crawl
+    against checkpointed (url, content-hash) pairs — the reference's
+    conditional-GET + byte-compare (documentrepository.py:880-997)
+    re-expressed; entries are simulated as the even doc_ids."""
+    d = _read(spark, sf_dir, "documents")
+    crawl = d.select("doc_id", F.md5("text").alias("content_hash"))
+    entries = (d.where(F.col("doc_id") % 2 == 0)
+               .select(F.col("doc_id").alias("e_id"),
+                       F.md5("text").alias("e_hash")))
+    return (crawl.join(entries,
+                       (crawl.doc_id == entries.e_id)
+                       & (crawl.content_hash == entries.e_hash),
+                       "left_anti")
+            .select("doc_id", "content_hash"))
+
+
+def q_header_kv_parse(spark, sf_dir):
+    """P8 header key/value parse: split two-column header lines on 3+
+    spaces, map keys to predicates, parse 'May 2001'-style dates to
+    gYearMonth (rfc.py:549-634) — over a deterministic synthesized
+    header column."""
+    d = _read(spark, sf_dir, "documents")
+    month = F.element_at(
+        F.array(*[F.lit(m) for m in
+                  ["January", "February", "March", "April", "May", "June",
+                   "July", "August", "September", "October", "November",
+                   "December"]]),
+        (F.col("doc_id") % 12 + 1).cast("int"))
+    header = F.concat(
+        F.lit("Request for Comments: "), F.col("doc_id").cast("string"),
+        F.lit("      Category: Informational      "),
+        month, F.lit(" "), (2000 + F.col("doc_id") % 20).cast("string"))
+    t = d.select("doc_id", header.alias("header"))
+    rfcnum = F.regexp_extract("header", r"Request for Comments: (\d+)", 1)
+    category = F.regexp_extract("header", r"Category: (\w+)", 1)
+    my = F.regexp_extract("header", r"(\w+) (\d{4})$", 1)
+    yy = F.regexp_extract("header", r"(\w+) (\d{4})$", 2)
+    months = {m: i + 1 for i, m in enumerate(
+        ["January", "February", "March", "April", "May", "June", "July",
+         "August", "September", "October", "November", "December"])}
+    mnum = None
+    for name, num in months.items():
+        mnum = (F.when(my == name, num) if mnum is None
+                else mnum.when(my == name, num))
+    gym = F.concat(yy, F.lit("-"), F.lpad(mnum.cast("string"), 2, "0"))
+    return t.select("doc_id", rfcnum.alias("rfcnum"),
+                    category.alias("category"), gym.alias("issued_gym"))
+
+
+def q_validation_quarantine(spark, sf_dir):
+    """P11 validation: detect duplicate '@about' subjects — documents
+    emitted twice (simulated: even doc_ids re-emitted) must be
+    quarantined, exactly the render_xhtml_validate duplicate-div check
+    (documentrepository.py:1581-1596)."""
+    t = _lift(spark, sf_dir)
+    d = _read(spark, sf_dir, "documents")
+    dup_subj = (d.where(F.col("doc_id") % 2 == 0)
+                .select(F.concat(F.lit(BASE + "res/"), "source", F.lit("/"),
+                                 F.col("doc_id").cast("string"))
+                        .alias("subj")))
+    doubled = t.unionByName(t.join(dup_subj, "subj", "left_semi"))
+    dup_counts = (doubled.groupBy("subj", "pred", "obj")
+                  .agg(F.count("*").cast("long").alias("copies"))
+                  .where(F.col("copies") > 1))
+    return (dup_counts.groupBy("subj")
+            .agg(F.count("*").cast("long").alias("n_dup_triples"),
+                 F.max("copies").cast("long").alias("max_copies")))
+
+
+def q_uri_roundtrip(spark, sf_dir):
+    """C8 canonical_uri + inverse basefile_from_uri
+    (documentrepository.py:598-674): mint, then recover (alias,
+    basefile) from the URI by regex — must round-trip exactly."""
+    d = _read(spark, sf_dir, "documents")
+    uri = F.concat(F.lit(BASE + "res/"), "source", F.lit("/"),
+                   F.col("doc_id").cast("string"))
+    t = d.select("doc_id", "source", uri.alias("uri"))
+    alias_back = F.regexp_extract("uri", r"/res/([^/]+)/", 1)
+    basefile_back = F.regexp_extract("uri", r"/res/[^/]+/(.+)$", 1)
+    return t.select(
+        "doc_id", "uri", alias_back.alias("alias"),
+        basefile_back.alias("basefile"),
+        ((alias_back == F.col("source"))
+         & (basefile_back == F.col("doc_id").cast("string")))
+        .alias("roundtrip_ok"))
+
+
+def q_composite_first_success(spark, sf_dir):
+    """P15 composite parse: try strategies in priority order, first
+    success wins (compositerepository.py:168-232) — as a coalesce over
+    per-strategy nullable results."""
+    d = _read(spark, sf_dir, "documents")
+    # strategy 1 handles only 'en', strategy 2 only long docs, the
+    # fallback always succeeds
+    s1 = F.when(F.col("lang") == "en", F.concat(F.lit("s1:"), "lang"))
+    s2 = F.when(F.col("n_chars") > 300,
+                F.concat(F.lit("s2:"), F.col("n_chars").cast("string")))
+    s3 = F.lit("s3:fallback")
+    winner = F.coalesce(s1, s2, s3)
+    return d.select("doc_id", winner.alias("parsed_by"))
+
+
+def q_sameas_canonical(spark, sf_dir):
+    """J5 owl:sameAs mapping: rewrite subjects through an
+    alternate->canonical URI mapping table (lagen/nu/sameas.py);
+    unmapped URIs pass through."""
+    t = _lift(spark, sf_dir)
+    d = _read(spark, sf_dir, "documents")
+    mapping = (d.select("source").distinct()
+               .select(F.concat(F.lit(BASE + "ext/"), "source")
+                       .alias("alt_uri"),
+                       F.concat(F.lit(BASE + "entity/"), "source")
+                       .alias("canon_uri")))
+    pubs = t.where(F.col("pred") == DCT + "publisher")
+    return (pubs.join(F.broadcast(mapping),
+                      pubs.obj == mapping.alt_uri, "left")
+            .select("subj", "pred",
+                    F.coalesce("canon_uri", "obj").alias("obj")))
+
+
+def q_news_atom_pages(spark, sf_dir):
+    """A6 atom archive pagination: global sort by updated desc, chunks
+    of <=100 entries per page (news_write_atom,
+    documentrepository.py:3233+)."""
+    e = _read(spark, sf_dir, "events")
+    w = Window.orderBy(F.desc("ts"), F.asc("event_id"))
+    return (e.select("event_id", "ts",
+                     F.row_number().over(w).cast("long").alias("rn"))
+            .withColumn("page", ((F.col("rn") - 1) / F.lit(100))
+                        .cast("long"))
+            .groupBy("page")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.min("rn").cast("long").alias("first_rn"),
+                 F.max("rn").cast("long").alias("last_rn")))
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -1075,6 +1233,113 @@ ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
 LIMIT 10
 """
 
+ORACLE["faceted_data_dedup"] = f"""
+WITH {_LIFT_CTE.strip()},
+pv AS (
+  SELECT subj,
+    max(CASE WHEN pred = '{DCT}language' THEN obj END) AS lang,
+    max(CASE WHEN pred = '{DCT}extent' THEN obj END) AS extent
+  FROM lift GROUP BY subj)
+SELECT DISTINCT ON (subj) subj, lang, extent FROM pv
+"""
+
+ORACLE["incremental_pending"] = """
+WITH crawl AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+entries AS (SELECT doc_id AS e_id, md5(text) AS e_hash FROM documents
+            WHERE doc_id % 2 = 0)
+SELECT c.doc_id, c.content_hash FROM crawl c
+WHERE NOT EXISTS (SELECT 1 FROM entries e
+                  WHERE e.e_id = c.doc_id AND e.e_hash = c.content_hash)
+"""
+
+_MONTHS_SQL = ("CASE m " + " ".join(
+    f"WHEN '{name}' THEN {i + 1}" for i, name in enumerate(
+        ["January", "February", "March", "April", "May", "June", "July",
+         "August", "September", "October", "November", "December"]))
+    + " END")
+
+ORACLE["header_kv_parse"] = f"""
+WITH months(mn, nm) AS (VALUES
+  (1,'January'),(2,'February'),(3,'March'),(4,'April'),(5,'May'),
+  (6,'June'),(7,'July'),(8,'August'),(9,'September'),(10,'October'),
+  (11,'November'),(12,'December')),
+t AS (
+  SELECT doc_id,
+         'Request for Comments: ' || doc_id::VARCHAR ||
+         '      Category: Informational      ' ||
+         (SELECT nm FROM months WHERE mn = doc_id % 12 + 1) || ' ' ||
+         (2000 + doc_id % 20)::VARCHAR AS header
+  FROM documents)
+SELECT doc_id,
+       regexp_extract(header, 'Request for Comments: (\\d+)', 1) AS rfcnum,
+       regexp_extract(header, 'Category: (\\w+)', 1) AS category,
+       regexp_extract(header, '(\\w+) (\\d{{4}})$', 2) || '-' ||
+       lpad((SELECT mn FROM months
+             WHERE nm = regexp_extract(header, '(\\w+) (\\d{{4}})$', 1)
+            )::VARCHAR, 2, '0') AS issued_gym
+FROM t
+"""
+
+ORACLE["validation_quarantine"] = f"""
+WITH {_LIFT_CTE.strip()},
+dup_subj AS (
+  SELECT '{BASE}res/' || source || '/' || doc_id::VARCHAR AS subj
+  FROM documents WHERE doc_id % 2 = 0),
+doubled AS (
+  SELECT * FROM lift
+  UNION ALL
+  SELECT l.* FROM lift l WHERE l.subj IN (SELECT subj FROM dup_subj)),
+dc AS (
+  SELECT subj, pred, obj, count(*)::BIGINT AS copies
+  FROM doubled GROUP BY subj, pred, obj HAVING count(*) > 1)
+SELECT subj, count(*)::BIGINT AS n_dup_triples,
+       max(copies)::BIGINT AS max_copies
+FROM dc GROUP BY subj
+"""
+
+ORACLE["uri_roundtrip"] = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         '{BASE}res/' || source || '/' || doc_id::VARCHAR AS uri
+  FROM documents)
+SELECT doc_id, uri,
+       regexp_extract(uri, '/res/([^/]+)/', 1) AS alias,
+       regexp_extract(uri, '/res/[^/]+/(.+)$', 1) AS basefile,
+       (regexp_extract(uri, '/res/([^/]+)/', 1) = source AND
+        regexp_extract(uri, '/res/[^/]+/(.+)$', 1) = doc_id::VARCHAR)
+         AS roundtrip_ok
+FROM t
+"""
+
+ORACLE["composite_first_success"] = """
+SELECT doc_id,
+       coalesce(CASE WHEN lang = 'en' THEN 's1:' || lang END,
+                CASE WHEN n_chars > 300 THEN 's2:' || n_chars::VARCHAR END,
+                's3:fallback') AS parsed_by
+FROM documents
+"""
+
+ORACLE["sameas_canonical"] = f"""
+WITH {_LIFT_CTE.strip()},
+mapping AS (
+  SELECT DISTINCT '{BASE}ext/' || source AS alt_uri,
+         '{BASE}entity/' || source AS canon_uri
+  FROM documents)
+SELECT l.subj, l.pred, coalesce(m.canon_uri, l.obj) AS obj
+FROM lift l LEFT JOIN mapping m ON l.obj = m.alt_uri
+WHERE l.pred = '{DCT}publisher'
+"""
+
+ORACLE["news_atom_pages"] = """
+WITH r AS (
+  SELECT event_id, ts,
+         row_number() OVER (ORDER BY ts DESC, event_id ASC)::BIGINT AS rn
+  FROM events)
+SELECT (rn - 1) // 100 AS page, count(*)::BIGINT AS n,
+       min(rn)::BIGINT AS first_rn, max(rn)::BIGINT AS last_rn
+FROM r GROUP BY 1
+"""
+
 ORACLE["tpch_q1_pricing"] = """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
@@ -1130,6 +1395,14 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_windows": q_events_hourly_windows,
         "tpch_q3_shipping": q_tpch_q3_shipping,
         "multimodal_features": q_multimodal_features,
+        "faceted_data_dedup": q_faceted_data_dedup,
+        "incremental_pending": q_incremental_pending,
+        "header_kv_parse": q_header_kv_parse,
+        "validation_quarantine": q_validation_quarantine,
+        "uri_roundtrip": q_uri_roundtrip,
+        "composite_first_success": q_composite_first_success,
+        "sameas_canonical": q_sameas_canonical,
+        "news_atom_pages": q_news_atom_pages,
     }
 
 
