@@ -60,11 +60,13 @@ _H_SQL = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
 _TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"       # spark (group 0)
 _TOKS_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"      # duckdb
 
-# spark-side distinct bigram shingles over the token array `ts`
-_SHINGLES = ("case when size(ts) >= 2 then array_distinct(transform("
-             "sequence(0, size(ts)-2), "
-             "i -> concat(element_at(ts, i+1), ' ', element_at(ts, i+2)))) "
-             "else array() end")
+# spark-side distinct bigram shingles over the token array `ts`.
+# zip_with over shifted slices, NOT transform(sequence)+element_at:
+# ANSI-mode element_at inside a generator lambda is ~9x slower (its
+# bounds-check branches knock the lambda out of efficient evaluation)
+_SHINGLES = ("case when size(ts) >= 2 then array_distinct(zip_with("
+             "slice(ts, 1, size(ts)-1), slice(ts, 2, size(ts)-1), "
+             "(a, b) -> concat(a, ' ', b))) else array() end")
 
 # duckdb CTE producing (doc_id, tok) distinct bigram shingles
 _SHINGLES_CTE = f"""
@@ -635,9 +637,10 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
          .withColumn("block",
                      F.concat_ws(" ", F.element_at("ts", 1),
                                  F.element_at("ts", 2))))
-    tri = ("array_distinct(transform(sequence(0, size(ts)-3), "
-           "i -> concat(element_at(ts, i+1), ' ', element_at(ts, i+2), "
-           "' ', element_at(ts, i+3))))")
+    tri = ("array_distinct(zip_with(zip_with("
+           "slice(ts, 1, size(ts)-2), slice(ts, 2, size(ts)-2), "
+           "(a, b) -> concat(a, ' ', b)), slice(ts, 3, size(ts)-2), "
+           "(ab, c) -> concat(ab, ' ', c)))")
     g = (t.withColumn("tri", F.expr(tri))
          .select("doc_id", "block", F.explode("tri").alias("tok"))
          .persist())  # feeds both sides of the intersection join
