@@ -844,6 +844,32 @@ def q_news_atom_pages(spark, sf_dir):
                  F.max("rn").cast("long").alias("last_rn")))
 
 
+_STREAM_SEQ = [0]
+
+
+def q_streaming_hourly_windows(spark, sf_dir):
+    """The Structured Streaming path under the oracle gate: run the
+    watermarked tumbling-window aggregation (streaming/ingest.py) over
+    the events table as a file-source stream with an availableNow
+    trigger, and return the final result — which must equal the batch
+    SQL oracle exactly (stream/batch parity)."""
+    from ferenda_spark.streaming import windowed_event_counts
+    _STREAM_SEQ[0] += 1
+    qname = f"oracle_hourly_{_STREAM_SEQ[0]}"
+    stream = (spark.readStream
+              .schema("event_id long, ts timestamp, user_id long, "
+                      "event_type string, value double, props string")
+              # the file source needs a directory; glob-filter the one
+              # table file out of the sf dir
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf_dir))
+    q = (windowed_event_counts(stream)
+         .writeStream.format("memory").queryName(qname)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.table(qname)
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing: Arrow-batched feature extraction over opaque
     media blobs (decode stubbed — see operators/multimodal.py).  Not
@@ -1223,6 +1249,14 @@ SELECT date_trunc('hour', ts) AS window_start, event_type,
 FROM events GROUP BY 1, 2
 """
 
+# stream/batch parity: the streaming query must match the SAME oracle
+# as its batch twin
+ORACLE["streaming_hourly_windows"] = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*)::BIGINT AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
 ORACLE["tpch_q3_shipping"] = """
 SELECT l_orderkey, o_orderdate, o_orderpriority,
        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
@@ -1406,6 +1440,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "composite_first_success": q_composite_first_success,
         "sameas_canonical": q_sameas_canonical,
         "news_atom_pages": q_news_atom_pages,
+        "streaming_hourly_windows": q_streaming_hourly_windows,
     }
 
 

@@ -1,0 +1,75 @@
+"""Property-based tests (hypothesis): the columnar scalar functions
+must agree with their pure-Python twins on arbitrary input, and the
+portable hash must agree between Spark and DuckDB — the invariants the
+oracle gate rests on."""
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from ferenda_spark import functions as FN
+from ferenda_spark.operators.coin import SlugTransform
+
+TEXT = st.text(
+    alphabet=st.characters(codec="utf-8",
+                           blacklist_categories=("Cs", "Cc")),
+    max_size=60)
+
+_slow = settings(max_examples=25, deadline=None,
+                 suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+
+def _one(spark, expr_fn, value):
+    df = spark.createDataFrame([(value,)], "s string")
+    return df.select(expr_fn(F.col("s")).alias("o")).collect()[0].o
+
+
+@_slow
+@given(s=TEXT)
+def test_normalize_space_matches_py(spark, s):
+    assert _one(spark, FN.normalize_space, s) == FN.normalize_space_py(s)
+
+
+@_slow
+@given(s=TEXT)
+def test_natural_sort_key_matches_py(spark, s):
+    assert _one(spark, FN.natural_sort_key, s) == FN.natural_sort_key_py(s)
+
+
+@_slow
+@given(s=st.text(alphabet="ivxlcdmIVXLCDM", min_size=1, max_size=10))
+def test_from_roman_matches_py(spark, s):
+    assert _one(spark, FN.from_roman, s) == FN.from_roman_py(s)
+
+
+@_slow
+@given(s=TEXT)
+def test_coin_slug_matches_py(spark, s):
+    slug = SlugTransform(to_lower=True, replace=((" ", " "),),
+                         space_repl="+")
+    got = _one(spark, slug.apply, s)
+    assert got == slug.apply_py(s)
+
+
+@_slow
+@given(s=st.text(alphabet=st.characters(min_codepoint=32,
+                                        max_codepoint=126),
+                 min_size=1, max_size=40))
+def test_portable_hash_spark_equals_duckdb(spark, s):
+    """The 60-bit md5-prefix hash (queries._h) is the foundation of
+    every hash-based oracle comparison — it must be IDENTICAL across
+    engines for arbitrary ASCII payloads."""
+    from ferenda_spark.queries import _H_SQL, _h
+    spark_val = (spark.createDataFrame([(s,)], "s string")
+                 .select(_h(F.col("s")).alias("h")).collect()[0].h)
+    duck_val = duckdb.sql(
+        "SELECT " + _H_SQL.format(x="?") , params=[s]).fetchone()[0]
+    assert spark_val == duck_val
+
+
+def test_natural_sort_orders_rfc_ids():
+    ids = [f"RFC {n}" for n in (1, 2, 9, 10, 99, 100, 1000)]
+    keys = [FN.natural_sort_key_py(i) for i in ids]
+    assert sorted(keys) == keys
