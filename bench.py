@@ -95,7 +95,7 @@ def run_kg_pipeline(spark, corpus_path: str, n_pages: int) -> tuple[float, int]:
 
     pages = spark.read.parquet(corpus_path)
     t0 = time.time()
-    extracted = extract(pages).select(*_TRIPLES_COLS)
+    extracted = extract(pages, fields=_TRIPLES_COLS)
     _noop_write(all_triples(extracted, commondata_df(spark)))
     return time.time() - t0, n_pages
 

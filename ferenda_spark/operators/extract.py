@@ -116,8 +116,12 @@ def _rfc_paragraphs(pre_text: str) -> tuple[str, str | None, list[str]]:
     return header, title, paras[2:] if len(paras) > 2 else []
 
 
-def extract_one(url: str, html: bytes) -> dict:
-    """Per-document kernel.  Pure function; unit-testable without Spark."""
+def extract_one(url: str, html: bytes, with_blocks: bool = True) -> dict:
+    """Per-document kernel.  Pure function; unit-testable without Spark.
+
+    ``with_blocks=False`` skips the flat-tree projection — callers that
+    only consume the triple-lift columns prune it (projection pushdown
+    INTO the UDF; Catalyst cannot see through mapInPandas)."""
     alias, basefile = url_to_repo(url)
     repo = REPOS.get(alias, DEFAULT_REPO)
     decoded = hp.decode_html(html)
@@ -134,7 +138,7 @@ def extract_one(url: str, html: bytes) -> dict:
                          f"matched nothing")
     cleaned = hp.clean_tree(content)
     text = hp.as_plaintext(cleaned)
-    blocks = hp.blocks(cleaned)
+    blocks = hp.blocks(cleaned) if with_blocks else []
 
     sections: list[dict] = []
     citations: list[dict] = []
@@ -181,7 +185,11 @@ def extract_one(url: str, html: bytes) -> dict:
     }
 
 
-def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _extract_batches(batches: Iterator[pd.DataFrame],
+                     fields: list[str] | None = None) -> Iterator[pd.DataFrame]:
+    names = (fields if fields is not None
+             else [f.name for f in EXTRACTED_SCHEMA.fields])
+    with_blocks = "blocks" in names
     for pdf in batches:
         out = []
         for url, warc_ts, html in zip(pdf["url"], pdf["warc_ts"], pdf["html"]):
@@ -192,7 +200,7 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "parse_ok": True, "error": None,
             }
             try:
-                row.update(extract_one(url, data))
+                row.update(extract_one(url, data, with_blocks=with_blocks))
             except Exception as e:  # quarantine, never fail the batch
                 alias, basefile = url_to_repo(url)
                 row.update({
@@ -204,13 +212,28 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 })
             row["n_chars"] = len(row["text"]) if row["text"] else 0
             out.append(row)
-        yield pd.DataFrame(out, columns=[f.name for f in EXTRACTED_SCHEMA.fields])
+        yield pd.DataFrame(out, columns=names)
 
 
-def extract(web_pages: DataFrame) -> DataFrame:
-    """web_pages -> extracted.  Narrow map; no shuffle."""
+def extract(web_pages: DataFrame,
+            fields: list[str] | None = None) -> DataFrame:
+    """web_pages -> extracted.  Narrow map; no shuffle.
+
+    ``fields`` prunes the OUTPUT columns inside the UDF (subset of
+    EXTRACTED_SCHEMA names) — pass only what downstream consumes; the
+    nested blocks/text columns dominate Arrow transfer cost."""
+    if fields is None:
+        schema = EXTRACTED_SCHEMA
+    else:
+        by_name = {f.name: f for f in EXTRACTED_SCHEMA.fields}
+        fields = [f.name for f in EXTRACTED_SCHEMA.fields if f.name in set(fields)]
+        schema = T.StructType([by_name[n] for n in fields])
+
+    def run(batches):
+        return _extract_batches(batches, fields)
+
     cols = ["url", "warc_ts", "html"]
-    return web_pages.select(*cols).mapInPandas(_extract_batches, EXTRACTED_SCHEMA)
+    return web_pages.select(*cols).mapInPandas(run, schema)
 
 
 def with_repartition(web_pages: DataFrame, partitions: int) -> DataFrame:
