@@ -179,6 +179,7 @@ def main():
     spark = get_spark("bench_queries", cores=CPUS,
                       shuffle_partitions=max(CPUS, 8))
     reg = Q.registry()
+    _noop_write(reg["kg_triples_lift"](spark, SF_DIR))  # JVM/scan warmup
     queries: dict = {}
     for name in BENCH_QUERIES:
         t0 = time.time()

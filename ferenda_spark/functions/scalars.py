@@ -18,7 +18,13 @@ from pyspark.sql import functions as F
 # normalize_space (util.py:279-290): collapse all whitespace runs
 # (incl. NBSP) to single spaces and strip ends.
 
-_WS = "[\\s  ]+"
+# Java regex \\s is ASCII-only; Python \\s / str.isspace() include NBSP
+# and the Unicode spaces.  This EXPLICIT class is Python's
+# str.isspace() set, so the column expressions and the Python twins
+# agree on every input (property-tested in tests/test_properties.py).
+WS_CLASS = ("[\\t\\n\\x0b\\f\\r \\x1c-\\x1f\\x85\\u00a0\\u1680"
+            "\\u2000-\\u200a\\u2028\\u2029\\u202f\\u205f\\u3000]")
+_WS = WS_CLASS + "+"
 
 
 def normalize_space(col: Column) -> Column:

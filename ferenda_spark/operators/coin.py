@@ -38,20 +38,25 @@ class SlugTransform:
     strip_pattern: str = ""      # regex of chars to remove
 
     def apply(self, col: Column) -> Column:
+        from ferenda_spark.functions.scalars import WS_CLASS
         out = F.lower(col) if self.to_lower else col
         for a, b in self.replace:
             out = F.replace(out, F.lit(a), F.lit(b))
-        out = F.regexp_replace(out, r"\s+", self.space_repl.replace("\\", "\\\\"))
+        # WS_CLASS, not \s: Java \s is ASCII-only, Python's is not —
+        # the explicit class keeps both implementations identical
+        out = F.regexp_replace(out, WS_CLASS + "+",
+                               self.space_repl.replace("\\", "\\\\"))
         if self.strip_pattern:
             out = F.regexp_replace(out, self.strip_pattern, "")
         return out
 
     def apply_py(self, value: str) -> str:
         """Pure-Python twin, used by fixture/golden generation and tests."""
+        from ferenda_spark.functions.scalars import WS_CLASS
         out = value.lower() if self.to_lower else value
         for a, b in self.replace:
             out = out.replace(a, b)
-        out = re.sub(r"\s+", self.space_repl, out)
+        out = re.sub(WS_CLASS + "+", self.space_repl, out)
         if self.strip_pattern:
             out = re.sub(self.strip_pattern, "", out)
         return out

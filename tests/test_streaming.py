@@ -68,3 +68,51 @@ def test_windowed_event_counts_stream(spark, tmp_path):
         ("2024-01-01 01:00:00", "click"): (3, 4.5),
         ("2024-01-01 02:00:00", "click"): (3, 4.5),
     }
+
+
+def test_stateful_dedup_across_batches(spark, tmp_path):
+    """applyInPandasWithState: a url re-crawled with the SAME bytes is
+    dropped in a later micro-batch; changed bytes pass through."""
+    from ferenda_spark.streaming.stateful import dedup_pages_stream
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+
+    def land(rows):
+        spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, html binary, "
+                  "text string, lang string"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def run_stream():
+        stream = (spark.readStream
+                  .schema("url string, warc_ts timestamp, html binary, "
+                          "text string, lang string")
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(src))
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (dedup_pages_stream(stream)
+             .writeStream.foreachBatch(sink)
+             .outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    # batch 1: two urls
+    land([("u1", None, b"<html>A</html>", None, None),
+          ("u2", None, b"<html>B</html>", None, None)])
+    run_stream()
+    assert spark.read.parquet(out).count() == 2
+
+    # batch 2: u1 unchanged (dropped), u2 changed (kept), u3 new (kept)
+    land([("u1", None, b"<html>A</html>", None, None),
+          ("u2", None, b"<html>B2</html>", None, None),
+          ("u3", None, b"<html>C</html>", None, None)])
+    run_stream()
+    got = {(r.url, bytes(r.html)) for r in spark.read.parquet(out).collect()}
+    assert got == {("u1", b"<html>A</html>"), ("u2", b"<html>B</html>"),
+                   ("u2", b"<html>B2</html>"), ("u3", b"<html>C</html>")}
