@@ -68,6 +68,10 @@ BENCH_QUERIES = [
     "multimodal_features",
     "tpch_q1_pricing",
     "tpch_q3_shipping",
+    "events_sessionize",
+    "text_bpe_pretokens",
+    "kg_degree_distribution",
+    "pagerank_3iter",
 ]
 
 

@@ -844,6 +844,79 @@ def q_news_atom_pages(spark, sf_dir):
                  F.max("rn").cast("long").alias("last_rn")))
 
 
+def q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization: a >30-minute silence per user starts a
+    new session; per-session event count and value sum.  The batch twin
+    of a streaming session window."""
+    e = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; route through TIMESTAMP (session tz = UTC)
+    # to get epoch seconds — matches DuckDB floor(epoch(ts))
+    secs = F.col("ts").cast("timestamp").cast("long")
+    gap = secs - F.lag(secs).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = (e.withColumn("new_sess", new_sess)
+            .withColumn("session_no",
+                        F.sum("new_sess").over(
+                            w.rowsBetween(Window.unboundedPreceding, 0))
+                        .cast("long")))
+    return (sess.groupBy("user_id", "session_no")
+            .agg(F.count("*").cast("long").alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value"),
+                 F.min("ts").alias("session_start")))
+
+
+def q_text_bpe_pretokens(spark, sf_dir):
+    """BPE-style pre-tokenization count: split into letter runs, digit
+    runs, and punctuation runs (the GPT-2 pre-tokenizer shape without
+    the lookaheads, which Java and DuckDB regex both support)."""
+    d = _read_wide(spark, sf_dir, "documents")
+    pat = "[a-z]+|[0-9]+|[^a-z0-9 ]+"
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(pat), 0))
+        .cast("long").alias("n_pretokens"),
+    )
+
+
+def q_kg_degree_distribution(spark, sf_dir):
+    """Graph analytics over the lifted KG: per-node out-degree from the
+    subject side, then the degree histogram (how many nodes have degree
+    k) — the shape of a triple-store statistics endpoint."""
+    t = _lift(spark, sf_dir)
+    deg = t.groupBy("subj").agg(F.count("*").alias("deg"))
+    return (deg.groupBy("deg").agg(F.count("*").cast("long").alias("n_nodes"))
+            .select(F.col("deg").cast("long").alias("degree"), "n_nodes"))
+
+
+def q_pagerank_3iter(spark, sf_dir):
+    """Iterative algorithm as chained self-joins: 3 PageRank iterations
+    (d=0.85) over the deterministic reference graph — every node has
+    out-degree 1, so no dangling-mass term.  Shows the iterative-join
+    loop pattern (J3 generalization); at scale each iteration is one
+    shuffle on dst."""
+    d = _read(spark, sf_dir, "documents")
+    n = d.count()
+    edges = (d.select(F.col("doc_id").alias("src"),
+                      ((F.col("doc_id") * 7 + 3) % n).alias("dst"))
+             .where(F.col("src") != F.col("dst")))
+    nodes = d.select(F.col("doc_id").alias("node"))
+    ranks = nodes.select("node", (F.lit(1.0) / n).alias("rank"))
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("odeg"))
+    for _ in range(3):
+        contrib = (edges.join(ranks, edges.src == ranks.node)
+                   .join(out_deg, "src")
+                   .select(F.col("dst").alias("node"),
+                           (F.col("rank") / F.col("odeg")).alias("c")))
+        ranks = (nodes.join(contrib.groupBy("node")
+                            .agg(F.sum("c").alias("s")), "node", "left")
+                 .select("node",
+                         (F.lit(0.15) / n
+                          + 0.85 * F.coalesce("s", F.lit(0.0)))
+                         .alias("rank")))
+    return ranks.select("node", F.round("rank", 8).alias("rank"))
+
+
 _STREAM_SEQ = [0]
 
 
@@ -1249,6 +1322,77 @@ SELECT date_trunc('hour', ts) AS window_start, event_type,
 FROM events GROUP BY 1, 2
 """
 
+ORACLE["events_sessionize"] = """
+WITH g AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              OR lag(ts) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+s AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING)::BIGINT AS session_no
+  FROM g)
+SELECT user_id, session_no, count(*)::BIGINT AS n_events,
+       round(sum(value), 2) AS sum_value, min(ts) AS session_start
+FROM s GROUP BY user_id, session_no
+"""
+
+ORACLE["text_bpe_pretokens"] = """
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]+'))::BIGINT
+         AS n_pretokens
+FROM documents
+"""
+
+ORACLE["kg_degree_distribution"] = f"""
+WITH {_LIFT_CTE.strip()},
+deg AS (SELECT subj, count(*) AS deg FROM lift GROUP BY subj)
+SELECT deg::BIGINT AS degree, count(*)::BIGINT AS n_nodes
+FROM deg GROUP BY deg
+"""
+
+ORACLE["pagerank_3iter"] = """
+WITH n AS (SELECT count(*) AS cnt FROM documents),
+edges AS (SELECT doc_id AS src, (doc_id * 7 + 3) % (SELECT cnt FROM n) AS dst
+          FROM documents
+          WHERE doc_id <> (doc_id * 7 + 3) % (SELECT cnt FROM n)),
+odeg AS (SELECT src, count(*) AS odeg FROM edges GROUP BY src),
+r0 AS (SELECT doc_id AS node, 1.0 / (SELECT cnt FROM n) AS rank
+       FROM documents),
+r1 AS (
+  SELECT d.doc_id AS node,
+         0.15 / (SELECT cnt FROM n)
+         + 0.85 * coalesce(sum(r.rank / o.odeg), 0.0) AS rank
+  FROM documents d
+  LEFT JOIN edges e ON e.dst = d.doc_id
+  LEFT JOIN r0 r ON r.node = e.src
+  LEFT JOIN odeg o ON o.src = e.src
+  GROUP BY d.doc_id),
+r2 AS (
+  SELECT d.doc_id AS node,
+         0.15 / (SELECT cnt FROM n)
+         + 0.85 * coalesce(sum(r.rank / o.odeg), 0.0) AS rank
+  FROM documents d
+  LEFT JOIN edges e ON e.dst = d.doc_id
+  LEFT JOIN r1 r ON r.node = e.src
+  LEFT JOIN odeg o ON o.src = e.src
+  GROUP BY d.doc_id),
+r3 AS (
+  SELECT d.doc_id AS node,
+         0.15 / (SELECT cnt FROM n)
+         + 0.85 * coalesce(sum(r.rank / o.odeg), 0.0) AS rank
+  FROM documents d
+  LEFT JOIN edges e ON e.dst = d.doc_id
+  LEFT JOIN r2 r ON r.node = e.src
+  LEFT JOIN odeg o ON o.src = e.src
+  GROUP BY d.doc_id)
+SELECT node, round(rank, 8) AS rank FROM r3
+"""
+
 # stream/batch parity: the streaming query must match the SAME oracle
 # as its batch twin
 ORACLE["streaming_hourly_windows"] = """
@@ -1441,6 +1585,10 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sameas_canonical": q_sameas_canonical,
         "news_atom_pages": q_news_atom_pages,
         "streaming_hourly_windows": q_streaming_hourly_windows,
+        "events_sessionize": q_events_sessionize,
+        "text_bpe_pretokens": q_text_bpe_pretokens,
+        "kg_degree_distribution": q_kg_degree_distribution,
+        "pagerank_3iter": q_pagerank_3iter,
     }
 
 
