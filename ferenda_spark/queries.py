@@ -1433,12 +1433,6 @@ WHERE NOT EXISTS (SELECT 1 FROM entries e
                   WHERE e.e_id = c.doc_id AND e.e_hash = c.content_hash)
 """
 
-_MONTHS_SQL = ("CASE m " + " ".join(
-    f"WHEN '{name}' THEN {i + 1}" for i, name in enumerate(
-        ["January", "February", "March", "April", "May", "June", "July",
-         "August", "September", "October", "November", "December"]))
-    + " END")
-
 ORACLE["header_kv_parse"] = f"""
 WITH months(mn, nm) AS (VALUES
   (1,'January'),(2,'February'),(3,'March'),(4,'April'),(5,'May'),
