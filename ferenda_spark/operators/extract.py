@@ -191,7 +191,9 @@ def _extract_batches(batches: Iterator[pd.DataFrame],
              else [f.name for f in EXTRACTED_SCHEMA.fields])
     with_blocks = "blocks" in names
     for pdf in batches:
-        out = []
+        # column-wise accumulation: building pandas from dict-of-lists
+        # avoids per-row dict lookups in the from-records path
+        cols: dict[str, list] = {n: [] for n in names}
         for url, warc_ts, html in zip(pdf["url"], pdf["warc_ts"], pdf["html"]):
             data = bytes(html) if html is not None else b""
             row = {
@@ -211,8 +213,9 @@ def _extract_batches(batches: Iterator[pd.DataFrame],
                     "parse_ok": False, "error": f"{type(e).__name__}: {e}",
                 })
             row["n_chars"] = len(row["text"]) if row["text"] else 0
-            out.append(row)
-        yield pd.DataFrame(out, columns=names)
+            for n in names:
+                cols[n].append(row[n])
+        yield pd.DataFrame(cols, columns=names)
 
 
 def extract(web_pages: DataFrame,

@@ -11,7 +11,7 @@ Conventions that make the oracle comparison exact:
 - the only hash function used is the *portable 60-bit md5 prefix*:
     Spark:  cast(conv(substr(md5(x), 1, 15), 16, 10) as bigint)
     DuckDB: ('0x' || substr(md5(x), 1, 15))::BIGINT
-  (verified identical; see tests/test_oracle_parity.py)
+  (verified identical; property-tested in tests/test_properties.py)
 """
 
 from __future__ import annotations
