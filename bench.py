@@ -72,6 +72,8 @@ BENCH_QUERIES = [
     "text_bpe_pretokens",
     "kg_degree_distribution",
     "pagerank_3iter",
+    "events_asof_join",
+    "events_rollup",
 ]
 
 

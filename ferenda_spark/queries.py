@@ -917,6 +917,42 @@ def q_pagerank_3iter(spark, sf_dir):
     return ranks.select("node", F.round("rank", 8).alias("rank"))
 
 
+def q_events_asof_join(spark, sf_dir):
+    """As-of (backward) join — an operator Spark lacks natively,
+    composed from a union + running-max window: for every click, the
+    most recent error at-or-before it for the same user.  One shuffle
+    on user_id; no range-explosion join.  The oracle is DuckDB's NATIVE
+    ASOF JOIN, so the composition is checked against a real as-of
+    implementation."""
+    e = _read(spark, sf_dir, "events")
+    tagged = e.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.when(F.col("event_type") == "error", F.col("ts")).alias("err_ts"))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (tagged.withColumn("last_err_ts", F.max("err_ts").over(w))
+            .where(F.col("event_type") == "click")
+            .select("user_id", "event_id", "ts", "last_err_ts"))
+
+
+def q_events_rollup(spark, sf_dir):
+    """Hierarchical time rollup (hypertable-style): day/hour grouping
+    sets in one pass — per-(day,hour), per-day, and grand totals."""
+    e = _read(spark, sf_dir, "events")
+    g = e.select(F.to_date("ts").alias("day"),
+                 F.hour("ts").cast("long").alias("hr"), "value")
+    return (g.rollup("day", "hr")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            # string keys with an ALL sentinel: rolled-up NULL dates
+            # render engine-dependently (None vs NaT) otherwise
+            .select(F.coalesce(F.col("day").cast("string"), F.lit("ALL"))
+                    .alias("day"),
+                    F.coalesce(F.col("hr").cast("string"), F.lit("ALL"))
+                    .alias("hr"),
+                    "n", "sum_value"))
+
+
 _STREAM_SEQ = [0]
 
 
@@ -1393,6 +1429,27 @@ r3 AS (
 SELECT node, round(rank, 8) AS rank FROM r3
 """
 
+ORACLE["events_asof_join"] = """
+WITH clicks AS (SELECT user_id, event_id, ts FROM events
+                WHERE event_type = 'click'),
+errors AS (SELECT user_id, ts FROM events WHERE event_type = 'error')
+SELECT c.user_id, c.event_id, c.ts, e.ts AS last_err_ts
+FROM clicks c
+ASOF LEFT JOIN errors e
+  ON c.user_id = e.user_id AND c.ts >= e.ts
+"""
+
+ORACLE["events_rollup"] = """
+WITH r AS (
+  SELECT ts::DATE AS day, hour(ts)::BIGINT AS hr,
+         count(*)::BIGINT AS n, round(sum(value), 2) AS sum_value
+  FROM events
+  GROUP BY ROLLUP (day, hr))
+SELECT coalesce(day::VARCHAR, 'ALL') AS day,
+       coalesce(hr::VARCHAR, 'ALL') AS hr, n, sum_value
+FROM r
+"""
+
 # stream/batch parity: the streaming query must match the SAME oracle
 # as its batch twin
 ORACLE["streaming_hourly_windows"] = """
@@ -1583,6 +1640,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_pretokens": q_text_bpe_pretokens,
         "kg_degree_distribution": q_kg_degree_distribution,
         "pagerank_3iter": q_pagerank_3iter,
+        "events_asof_join": q_events_asof_join,
+        "events_rollup": q_events_rollup,
     }
 
 
