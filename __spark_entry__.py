@@ -22,9 +22,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    out = dict(Q.registry())
-    out["kg_pipeline"] = Q.kg_pipeline_query
-    return out
+    return dict(Q.registry())  # ordered; kg_pipeline is the first entry
 
 
 def oracle_sql() -> dict[str, str]:

@@ -13,7 +13,7 @@ Extras (informational, per BASELINE.md protocol):
   — the sandbox proxy for N vs 4N executor clusters (north_rule).
 
 Env knobs: SPARK_GRAFT_SCALING=0 skips the scaling subprocesses;
-SPARK_GRAFT_KG_PAGES sizes the synthetic corpus (default 12000,
+SPARK_GRAFT_KG_PAGES sizes the synthetic corpus (default 600000,
 synthesized cluster-side via web_pages_df_dist).
 
 Subprocess protocol: `python bench.py --kg-only <cores> <pages>` prints

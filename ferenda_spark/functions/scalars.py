@@ -61,12 +61,16 @@ def title_sortkey_py(s: str) -> str:
 
 def natural_sort_key(col: Column, width: int = 12) -> Column:
     # regexp_replace cannot compute a padded backreference, so tokenize
-    # into digit/non-digit runs and pad the numeric ones
+    # into digit/non-digit runs and pad the numeric ones.  Digit runs
+    # LONGER than width pass through unpadded: Spark lpad would truncate
+    # them (zfill does not), which made the twins disagree and collided
+    # distinct long ids onto one key.
     toks = F.regexp_extract_all(col, F.lit("(\\d+|\\D+)"), 1)
     return F.array_join(
         F.transform(
             toks,
-            lambda t: F.when(t.rlike("^\\d+$"), F.lpad(t, width, "0"))
+            lambda t: F.when(t.rlike("^\\d+$") & (F.length(t) <= width),
+                             F.lpad(t, width, "0"))
             .otherwise(t),
         ),
         "",
@@ -74,7 +78,11 @@ def natural_sort_key(col: Column, width: int = 12) -> Column:
 
 
 def natural_sort_key_py(s: str, width: int = 12) -> str:
-    return re.sub(r"\d+", lambda m: m.group(0).zfill(width), s)
+    return re.sub(
+        r"\d+",
+        lambda m: m.group(0).zfill(width)
+        if len(m.group(0)) <= width else m.group(0),
+        s)
 
 
 # ---------------------------------------------------------------------------

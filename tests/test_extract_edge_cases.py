@@ -54,7 +54,8 @@ def test_hostile_batch_never_fails(spark):
     assert rows["latin1"].parse_ok
     assert "café" in rows["latin1"].text        # declared charset honored
     assert rows["deep"].parse_ok and rows["deep"].text == "x"
-    assert rows["nullhtml"].parse_ok is False or rows["nullhtml"].parse_ok
+    # null html behaves exactly like empty bytes: quarantined with error
+    assert rows["nullhtml"].parse_ok is False and rows["nullhtml"].error
     # rfc page without <pre>: no sections, but still a document
     assert rows["9999"].parse_ok and rows["9999"].sections == []
 
