@@ -199,7 +199,7 @@ def _build_w3c(i: int, rng: random.Random):
         "2 Conformance", _norm(s2),
     ])
 
-    gen_by = "ferenda.sources.tech.W3Standards"
+    gen_by = "ferenda.sources.tech.w3c.W3Standards"
     triples = [
         _t(uri, ns.RDF_TYPE, ns.BIBO_STANDARD, True),
         _t(uri, ns.DCT_TITLE, title, lang="en"),
@@ -251,6 +251,7 @@ def _build_rfc(i: int, rng: random.Random):
     intro = _words(rng, rng.randint(15, 40))
     scope = _words(rng, rng.randint(10, 25))
     sec2 = _words(rng, rng.randint(10, 25))
+    abstract = _words(rng, rng.randint(10, 20))
 
     updates_line = f"\nUpdates: {upd}" if upd else ""
     pre = f"""{publisher}                                              {author}
@@ -259,6 +260,10 @@ Category: {category}                                    {month} {year}
 ISSN: 2070-1721{updates_line}
 
                  {title}
+
+Abstract
+
+   {abstract}
 
 1.  Introduction
 
@@ -278,12 +283,14 @@ ISSN: 2070-1721{updates_line}
     data = html.encode("utf-8")
 
     expected_text = _norm(pre)
-    gen_by = "ferenda.sources.tech.RFC"
+    # reference-faithful doc metadata (validated against the reference's
+    # own distilled goldens in tests/test_reference_parity.py):
+    # rdf:type rfc:RFC, qualified classname, header lift (rfc.py:483-634)
+    gen_by = "ferenda.sources.tech.rfc.RFC"
     triples = [
-        _t(uri, ns.RDF_TYPE, ns.BIBO_STANDARD, True),
+        _t(uri, ns.RDF_TYPE, ns.term("rfc", "RFC"), True),
         _t(uri, ns.DCT_TITLE, title, lang="en"),
         _t(uri, ns.PROV_WASGENERATEDBY, gen_by),
-        # header lift (rfc.py:549-634)
         _t(uri, ns.DCT_IDENTIFIER, f"RFC {num}"),
         _t(uri, ns.DCT_PUBLISHER, entity_uri(publisher), True),
         _t(uri, ns.DCT_SUBJECT, entity_uri(category), True),
@@ -294,6 +301,13 @@ ISSN: 2070-1721{updates_line}
     ]
     if upd:
         triples.append(_t(uri, ns.RFC_UPDATES, canonical_uri("rfc", str(upd)), True))
+    # preamble part: type+title only (PreambleSection, rfc.py:36-59)
+    triples += [
+        _t(f"{uri}#PS1", ns.RDF_TYPE, ns.BIBO_DOCUMENTPART, True),
+        _t(f"{uri}#PS1", ns.DCT_TITLE, "Abstract", lang="en"),
+    ]
+    # numbered sections: identifier "RFC N, section X"@en + @en chapter
+    # (rfc.py:352-366 + xml:lang inheritance in the RDFa render)
     for frag, stitle, chapter, parent in [
         ("S1", "Introduction", "1", uri),
         ("S1.1", "Scope", "1.1", uri + "#S1"),
@@ -303,8 +317,10 @@ ISSN: 2070-1721{updates_line}
         triples += [
             _t(s, ns.RDF_TYPE, ns.BIBO_DOCUMENTPART, True),
             _t(s, ns.DCT_TITLE, stitle, lang="en"),
+            _t(s, ns.DCT_IDENTIFIER, f"RFC {num}, section {chapter}",
+               lang="en"),
             _t(s, ns.DCT_ISPARTOF, parent, True),
-            _t(s, ns.BIBO_CHAPTER, chapter),
+            _t(s, ns.BIBO_CHAPTER, chapter, lang="en"),
         ]
     c1_uri = canonical_uri("rfc", str(cite1))
     c2_uri = canonical_uri("rfc", str(cite2)) + "#S2"

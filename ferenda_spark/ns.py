@@ -48,5 +48,9 @@ FOAF_NAME = term("foaf", "name")
 BIBO_IDENTIFIER = term("bibo", "identifier")
 RFC_UPDATES = term("rfc", "updates")
 RFC_OBSOLETES = term("rfc", "obsoletes")
+RFC_BCPNUMBER = term("rfc", "bcpnumber")
+RFC_STDNUMBER = term("rfc", "stdnumber")
+RFC_FYINUMBER = term("rfc", "fyinumber")
+BIBO_SHORTTITLE = term("bibo", "shortTitle")
 XSD_DATE = term("xsd", "date")
 XSD_GYEARMONTH = term("xsd", "gYearMonth")

@@ -1,11 +1,19 @@
 """Citation / reference recognition — per-document kernel functions
 (SURVEY.md §2 C1/C4/C5) + the span model.
 
-Reference grammars re-expressed as regexes:
-- url:   http/https/ftp with trailing-punctuation exclusion
-         (/root/reference/ferenda/citationpatterns.py:16-30)
-- rfc:   "section X.Y of [RFC N]", bare "RFC N"
-         (/root/reference/ferenda/sources/tech/rfc.py:429-451)
+Reference grammars re-expressed as regexes with the same observable
+matches (validated against the reference's own committed goldens in
+/root/reference/test/files/citation/url/*.{txt,result} — see
+tests/test_reference_parity.py):
+
+- url:   scheme://netloc/path?query#fragment with the pyparsing
+         trailing-token exclusion (chars ',).' never end a part)
+         (/root/reference/ferenda/citationpatterns.py:16-38)
+- rfc:   "section X.Y of [RFC N]", bare "section X.Y" (doc-relative),
+         bare "[RFC N]" — pyparsing literals have NO word boundary, so
+         neither do these regexes ("subsection 3" matches "section 3"),
+         and rfcnum is zero-left-stripped / secref dot-right-stripped
+         at mint time (rfc.py:429-451 make_citation_parser)
 
 The recognizer runs inside the Arrow-batched extract stage and emits
 spans only; URI minting happens columnarly (operators/coin.py /
@@ -18,42 +26,91 @@ from __future__ import annotations
 
 import re
 
-# trailing chars the reference's url grammar excludes (citationpatterns.py)
-_URL_RE = re.compile(r"\b(?:https?|ftp)://[^\s<>\"']+")
-_TRAIL = ".,;:!?)'\"]"
+# --- url grammar (citationpatterns.py:16-38) -------------------------------
+# pyparsing shape: parts are delimitedList(token, Word(",)."), combine)
+# => chars ',).' may appear INSIDE a part but never terminate it.
+_NL_TOK = r"[^\s/.?#,)]+"                       # netloc token (no / .)
+_NETLOC = rf"{_NL_TOK}(?:\.{_NL_TOK})*"
+_P_TOK = r"[^\s?#,).]+"                          # path token (/ allowed)
+_PATH = rf"{_P_TOK}(?:[,).]+{_P_TOK})*"
+_Q_TOK = r"[^\s#,).]+"                           # query token (? allowed)
+_QUERY = rf"{_Q_TOK}(?:[,).]+{_Q_TOK})*"
+_F_TOK = r"[^\s,).]+"
+_FRAG = rf"{_F_TOK}(?:[,).]+{_F_TOK})*"
 
-_SEC_OF_RFC_RE = re.compile(r"[Ss]ection (\d+(?:\.\d+)*) of \[?RFC (\d+)\]?")
-_RFC_RE = re.compile(r"\[?RFC (\d+)\]?")
+_URL_RE = re.compile(
+    rf"(?P<scheme>https?|ftp)://(?P<netloc>{_NETLOC})"
+    rf"(?P<path>{_PATH})?"
+    rf"(?:\?(?P<query>{_QUERY}))?"
+    rf"(?:#(?P<fragment>{_FRAG}))?")
+
+# --- rfc grammar (rfc.py:437-447); literals are case-insensitive and
+# boundary-free like CaselessLiteral / Literal in pyparsing ----------------
+# only "section" is caseless (CaselessLiteral); "RFC" is case-sensitive
+# pyparsing's Word(nums+".") needs no separating whitespace and can be
+# dots-only ("subsection. 9" -> Sec "." -> secref "" -> '#S'), so the
+# number group is \s*[\d.]+ — the goldens encode this quirk (RFC 6931 S7)
+_SEC_OF_RFC_RE = re.compile(
+    r"(?i:section)\s*([\d.]+)\s+of\s+\[?\s*RFC\s*(\d+)(?:\s*\])?")
+_SEC_RE = re.compile(r"(?i:section)\s*([\d.]+)")
+_RFC_RE = re.compile(r"\[?RFC\s*(\d+)(?:\s*\])?")
 
 
-def find_citations(text: str) -> list[dict]:
-    """All citation spans in ``text``; kinds: 'url', 'rfc' (with optional
-    secref).  Non-overlapping, longest-match-first like the reference's
-    priority-ordered grammar list (citationparser.py:57-63)."""
+def url_parts(text: str) -> dict | None:
+    """Parse ``text`` as one url; parts dict like the reference's
+    ParseResults (absent keys omitted), or None."""
+    m = _URL_RE.fullmatch(text)
+    if not m:
+        return None
+    return {k: v for k, v in m.groupdict().items() if v is not None}
+
+
+def _rfcnum(raw: str) -> str:
+    return raw.lstrip("0") or "0"
+
+
+def find_citations(text: str,
+                   grammars: tuple[str, ...] = ("url",)) -> list[dict]:
+    """All citation spans in ``text``.  ``grammars`` selects the active
+    recognizers per repo (the reference configures CitationParser per
+    DocumentRepository: rfc -> rfc/section only, others -> url).
+    Kinds: 'url', 'rfc' (rfcnum + optional secref), 'sec' (doc-relative
+    section).  Non-overlapping, priority-ordered first-match like the
+    reference's grammar list (citationparser.py:57-63)."""
     spans: list[tuple[int, int, dict]] = []
-
-    for m in _SEC_OF_RFC_RE.finditer(text):
-        spans.append((m.start(), m.end(), {
-            "span": m.group(0), "kind": "rfc",
-            "url": None, "rfcnum": m.group(2), "secref": m.group(1)}))
-    taken = [(s, e) for s, e, _ in spans]
+    taken: list[tuple[int, int]] = []
 
     def free(s, e):
         return all(e <= ts or s >= te for ts, te in taken)
 
-    for m in _RFC_RE.finditer(text):
-        if free(m.start(), m.end()):
+    if "rfc" in grammars:
+        for m in _SEC_OF_RFC_RE.finditer(text):
             spans.append((m.start(), m.end(), {
-                "span": m.group(0).strip("[]"), "kind": "rfc",
-                "url": None, "rfcnum": m.group(1), "secref": None}))
+                "span": m.group(0), "kind": "rfc", "url": None,
+                "rfcnum": _rfcnum(m.group(2)),
+                "secref": m.group(1).rstrip(".")}))
             taken.append((m.start(), m.end()))
+        for m in _SEC_RE.finditer(text):
+            if free(m.start(), m.end()):
+                spans.append((m.start(), m.end(), {
+                    "span": m.group(0), "kind": "sec", "url": None,
+                    "rfcnum": None, "secref": m.group(1).rstrip(".")}))
+                taken.append((m.start(), m.end()))
+        for m in _RFC_RE.finditer(text):
+            if free(m.start(), m.end()):
+                spans.append((m.start(), m.end(), {
+                    "span": m.group(0).strip("[]"), "kind": "rfc",
+                    "url": None, "rfcnum": _rfcnum(m.group(1)),
+                    "secref": None}))
+                taken.append((m.start(), m.end()))
 
-    for m in _URL_RE.finditer(text):
-        if free(m.start(), m.end()):
-            url = m.group(0).rstrip(_TRAIL)
-            spans.append((m.start(), m.start() + len(url), {
-                "span": url, "kind": "url",
-                "url": url, "rfcnum": None, "secref": None}))
+    if "url" in grammars:
+        for m in _URL_RE.finditer(text):
+            if free(m.start(), m.end()):
+                spans.append((m.start(), m.end(), {
+                    "span": m.group(0), "kind": "url",
+                    "url": m.group(0), "rfcnum": None, "secref": None}))
+                taken.append((m.start(), m.end()))
 
     spans.sort(key=lambda t: t[0])
     return [d for _, _, d in spans]

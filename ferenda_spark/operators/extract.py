@@ -34,7 +34,8 @@ from pyspark.sql import types as T
 
 from ferenda_spark import htmlparse as hp
 from ferenda_spark.operators.citations import find_citations
-from ferenda_spark.operators.fsm import rfc_structure, w3c_structure
+from ferenda_spark.operators.fsm import w3c_structure
+from ferenda_spark.operators.rfc_parse import parse_rfc_text
 from ferenda_spark.sources import DEFAULT_REPO, REPOS
 from ferenda_spark.sources.rfc_header import parse_rfc_header
 
@@ -69,6 +70,10 @@ RFC_HEADER_T = T.StructType([
     T.StructField("rightsholders", T.ArrayType(T.StringType())),
     T.StructField("updates", T.ArrayType(T.StringType())),
     T.StructField("obsoletes", T.ArrayType(T.StringType())),
+    T.StructField("rdftype", T.StringType()),      # BCP/FYI overrides
+    T.StructField("bcpnumber", T.StringType()),
+    T.StructField("stdnumber", T.StringType()),
+    T.StructField("fyinumber", T.StringType()),
 ])
 
 BLOCK_T = T.StructType([
@@ -86,6 +91,7 @@ EXTRACTED_SCHEMA = T.StructType([
     T.StructField("doc_uri", T.StringType()),
     T.StructField("lang", T.StringType()),
     T.StructField("title", T.StringType()),
+    T.StructField("short_title", T.StringType()),
     T.StructField("text", T.StringType()),
     T.StructField("head_meta", T.MapType(T.StringType(), T.StringType())),
     T.StructField("rfc_header", RFC_HEADER_T),
@@ -104,16 +110,6 @@ def url_to_repo(url: str) -> tuple[str, str]:
     if m and m.group(1) in REPOS:
         return m.group(1), m.group(2)
     return "base", url.rsplit("/", 1)[-1] or url
-
-
-def _rfc_paragraphs(pre_text: str) -> tuple[str, str | None, list[str]]:
-    """(header, title, body paragraphs) from RFC-style <pre> text —
-    TextReader.readparagraph semantics, split on blank lines
-    (textreader.py:159-172)."""
-    paras = [p for p in re.split(r"\n\s*\n", pre_text) if p.strip()]
-    header = paras[0] if paras else ""
-    title = paras[1].strip() if len(paras) > 1 else None
-    return header, title, paras[2:] if len(paras) > 2 else []
 
 
 def extract_one(url: str, html: bytes, with_blocks: bool = True) -> dict:
@@ -143,16 +139,27 @@ def extract_one(url: str, html: bytes, with_blocks: bool = True) -> dict:
     sections: list[dict] = []
     citations: list[dict] = []
     rfc_header = None
+    short_title = None
+    doc_uri = url.split("#")[0]
 
     if repo["structure"] == "rfc":
         pre = hp.find_first(cleaned, "pre")
         if pre is not None:
             pre_text = "".join(c for c in pre.children if isinstance(c, str))
-            header, rfc_title, body_paras = _rfc_paragraphs(pre_text)
-            rfc_header = parse_rfc_header(header)
-            if rfc_title:
-                title = hp.normalize_space(rfc_title)
-            sections = rfc_structure(body_paras)
+            parsed = parse_rfc_text(pre_text, basefile)
+            if not parsed["ok"]:
+                raise ValueError(f"rfc parse failed: {parsed['error']}")
+            rfc_header = parse_rfc_header(parsed["header"])
+            if parsed["title"]:
+                title = hp.normalize_space(parsed["title"])
+            short_title = parsed["short_title"]
+            sections = parsed["sections"]
+            # the header's RFC number overrides the crawl basefile for
+            # the canonical uri (rfc.py:483-488 realid)
+            if rfc_header["identifier"]:
+                realid = re.sub(r"\D", "", rfc_header["identifier"])
+                if realid and (m := _URI_RE.match(url)):
+                    doc_uri = url[:m.start(2)] + realid
     elif repo["structure"] == "w3c":
         chunks = [
             (c.tag, hp.as_plaintext(c))
@@ -161,21 +168,25 @@ def extract_one(url: str, html: bytes, with_blocks: bool = True) -> dict:
         ]
         sections = w3c_structure(chunks)
 
-    # citations: per-section text when structure exists, else whole doc
+    # citations: per-section text when structure exists, else whole doc;
+    # the active grammar set is repo config, like the reference's
+    # per-DocumentRepository CitationParser (rfc.py:429-451)
+    grammars = repo.get("citation_grammars", ("url",))
     if sections:
         for s in sections:
-            for c in find_citations(hp.normalize_space(s["text"])):
+            for c in find_citations(hp.normalize_space(s["text"]), grammars):
                 citations.append({"section_ordinal": s["ordinal"], **c})
     else:
-        for c in find_citations(text):
+        for c in find_citations(text, grammars):
             citations.append({"section_ordinal": None, **c})
 
     return {
         "alias": alias,
         "basefile": basefile,
-        "doc_uri": url.split("#")[0],
+        "doc_uri": doc_uri,
         "lang": lang,
         "title": title,
+        "short_title": short_title,
         "text": text,
         "head_meta": meta,
         "rfc_header": rfc_header,
@@ -208,9 +219,10 @@ def _extract_batches(batches: Iterator[pd.DataFrame],
                 row.update({
                     "alias": alias, "basefile": basefile,
                     "doc_uri": url, "lang": None, "title": None,
-                    "text": None, "head_meta": {}, "rfc_header": None,
-                    "sections": [], "citations": [], "blocks": [],
-                    "parse_ok": False, "error": f"{type(e).__name__}: {e}",
+                    "short_title": None, "text": None, "head_meta": {},
+                    "rfc_header": None, "sections": [], "citations": [],
+                    "blocks": [], "parse_ok": False,
+                    "error": f"{type(e).__name__}: {e}",
                 })
             row["n_chars"] = len(row["text"]) if row["text"] else 0
             for n in names:

@@ -306,40 +306,7 @@ def w3c_structure(header_chunks: list[tuple[str, str]]) -> list[dict]:
     return flatten_sections(body)
 
 
-# ---------------------------------------------------------------------------
-# RFC-style parser instance (reference: sources/tech/rfc.py:132-427):
-# plaintext paragraphs; numbered "N." / "N.M." section heads; the header
-# block and title precede the first section.
-
-_RFC_SECTION = re.compile(r"^(\d+(?:\.\d+)*)\.?\s+(.+?)\s*$").match
-
-
-def rfc_structure(paragraphs: list[str]) -> list[dict]:
-    """Recover numbered sections from RFC-style paragraph chunks.
-
-    Single-pass, stack-based equivalent of the reference's 25-entry RFC
-    transition table restricted to section nesting (rfc.py:312-399):
-    a paragraph whose first line matches ``N[.M[.K]].  Title`` opens a
-    (sub(sub))section; other paragraphs attach to the open section.
-    """
-    body = Elem(kind="body")
-    stack: list[Elem] = [body]  # nesting by ordinal depth
-
-    for para in paragraphs:
-        first = para.split("\n", 1)[0].strip()
-        m = _RFC_SECTION(first)
-        is_head = bool(m) and not para.startswith(" ")
-        if is_head:
-            ordinal = m.group(1)
-            depth = len(ordinal.split("."))
-            kind = {1: "section", 2: "subsection"}.get(depth, "subsubsection")
-            while len(stack) > depth:
-                stack.pop()
-            while len(stack) < depth:  # missing intermediate level: clamp
-                stack.append(stack[-1])
-            sec = Elem(kind=kind, ordinal=ordinal, title=m.group(2))
-            stack[-1].append(sec)
-            stack.append(sec)
-        else:
-            stack[-1].append(para)
-    return flatten_sections(body)
+# The RFC-style parser instance lives in operators/rfc_parse.py: the
+# full reference transition table (rfc.py:132-427) on this FSMParser,
+# golden-gated against the reference's own distilled fixtures
+# (tests/test_reference_parity.py).

@@ -93,21 +93,25 @@ def _frag(ordinal: Column) -> Column:
 def doc_scalar_triples(extracted: DataFrame) -> DataFrame:
     """Branch 1+2: everything derivable from one row without joins."""
     e = extracted.where("parse_ok")
-    rdf_type = _alias_case({a: r["rdf_type"] for a, r in REPOS.items()})
     classname = _alias_case({a: r["classname"] for a, r in REPOS.items()})
     h = F.col("rfc_header")
-    # default identifier = basefile; the RFC repo's header parse overrides
-    # it with "RFC N" (rfc.py:578-582 replaces the default lift)
-    identifier = F.coalesce(h["identifier"], F.col("basefile"))
+    identifier = _identifier_col()
+    short_title = F.when(F.col("short_title") != F.col("title"),
+                         F.col("short_title"))
     structs = [
-        _ts(F.col("doc_uri"), ns.RDF_TYPE, rdf_type, True),
+        _ts(F.col("doc_uri"), ns.RDF_TYPE, _rdf_type_col(), True),
         _ts(F.col("doc_uri"), ns.DCT_TITLE, F.col("title"),
+            lang=F.col("lang")),
+        _ts(F.col("doc_uri"), ns.BIBO_SHORTTITLE, short_title,
             lang=F.col("lang")),
         _ts(F.col("doc_uri"), ns.DCT_IDENTIFIER, identifier),
         _ts(F.col("doc_uri"), ns.PROV_WASGENERATEDBY, classname),
         _ts(F.col("doc_uri"), ns.DCT_ISSN, h["issn"]),
         _ts(F.col("doc_uri"), ns.DCT_ISSUED, h["issued"],
             datatype=ns.XSD_GYEARMONTH),
+        _ts(F.col("doc_uri"), ns.RFC_BCPNUMBER, h["bcpnumber"]),
+        _ts(F.col("doc_uri"), ns.RFC_STDNUMBER, h["stdnumber"]),
+        _ts(F.col("doc_uri"), ns.RFC_FYINUMBER, h["fyinumber"]),
     ]
     for key, (pred, dtype) in KNOWN_HEAD_META.items():
         structs.append(
@@ -206,24 +210,37 @@ def updates_obsoletes_triples(extracted: DataFrame) -> DataFrame:
 
 
 def section_triples(extracted: DataFrame) -> DataFrame:
-    """Branch 5 (P9): fragment URIs + DocumentPart/title/isPartOf/chapter."""
+    """Branch 5 (P9): fragment URIs + DocumentPart/title/isPartOf/chapter
+    (+ per-section identifiers for the rfc repo; preamble parts are
+    type+title only there — see fused _section_structs for citations)."""
     e = extracted.where("parse_ok")
-    s = (e.select("url", "doc_uri", "lang", F.explode("sections").alias("s"))
-         .select("url", "doc_uri", "lang", "s.*"))
+    s = (e.select("url", "doc_uri", "lang", "alias", "basefile",
+                  F.explode("sections").alias("s"))
+         .select("url", "doc_uri", "lang", "alias", "basefile", "s.*"))
+    is_rfc = F.col("alias") == "rfc"
+    is_ps = F.col("ordinal").startswith("PS")
     subj = F.concat(F.col("doc_uri"), F.lit("#"), _frag(F.col("ordinal")))
     parent = F.when(
         F.col("parent_ordinal").isNull(), F.col("doc_uri")
     ).otherwise(F.concat(F.col("doc_uri"), F.lit("#"),
                          _frag(F.col("parent_ordinal"))))
-    chapter = F.when(~F.col("ordinal").startswith("PS"), F.col("ordinal"))
+    parent_obj = F.when(~(is_rfc & is_ps), parent)
+    chapter = F.when(~is_ps, F.col("ordinal"))
+    chapter_lang = F.when(is_rfc, F.col("lang"))
+    sec_ident = F.when(
+        is_rfc & ~is_ps,
+        F.concat(F.lit("RFC "), F.col("basefile"),
+                 F.lit(", section "), F.col("ordinal")))
     return _emit(
-        s.withColumn("subj0", subj).withColumn("parent0", parent),
+        s.withColumn("subj0", subj).withColumn("parent0", parent_obj),
         [
             _ts(F.col("subj0"), ns.RDF_TYPE, ns.BIBO_DOCUMENTPART, True),
             _ts(F.col("subj0"), ns.DCT_TITLE, F.col("title"),
                 lang=F.col("lang")),
+            _ts(F.col("subj0"), ns.DCT_IDENTIFIER, sec_ident,
+                lang=F.col("lang")),
             _ts(F.col("subj0"), ns.DCT_ISPARTOF, F.col("parent0"), True),
-            _ts(F.col("subj0"), ns.BIBO_CHAPTER, chapter),
+            _ts(F.col("subj0"), ns.BIBO_CHAPTER, chapter, lang=chapter_lang),
         ],
     )
 
@@ -244,7 +261,10 @@ def citation_triples(extracted: DataFrame) -> DataFrame:
         RFC_COIN_TEMPLATES, BASE_URL,
         {"rfcnum": F.col("rfcnum"), "secref": F.col("secref")},
     )
-    obj = F.when(F.col("kind") == "url", F.col("cited_url")).otherwise(minted)
+    obj = (F.when(F.col("kind") == "url", F.col("cited_url"))
+           .when(F.col("kind") == "sec",
+                 F.concat(F.col("doc_uri"), F.lit("#S"), F.col("secref")))
+           .otherwise(minted))
     return (
         c.select(
             "url", subj.alias("subj"),
@@ -263,6 +283,29 @@ def _arr(col: Column) -> Column:
     return F.coalesce(col, F.array())
 
 
+def _rdf_type_col() -> Column:
+    """Doc rdf:type: repo config constant, except the rfc repo where a
+    BCP/STD/FYI header key overrides to rfc:BCP / rfc:FYI
+    (rfc.py:494-497, 603-611)."""
+    static = _alias_case({a: r["rdf_type"] for a, r in REPOS.items()})
+    h = F.col("rfc_header")
+    return F.when(
+        F.col("alias") == "rfc",
+        F.concat(F.lit(ns.NS["rfc"]), F.coalesce(h["rdftype"], F.lit("RFC")))
+    ).otherwise(static)
+
+
+def _identifier_col() -> Column:
+    """rfc: header-derived "RFC N" with basefile fallback
+    (rfc.py:499-500); other repos: the basefile."""
+    h = F.col("rfc_header")
+    return F.when(
+        F.col("alias") == "rfc",
+        F.coalesce(h["identifier"],
+                   F.concat(F.lit("RFC "), F.col("basefile")))
+    ).otherwise(F.col("basefile"))
+
+
 def fused_scalar_triples(extracted: DataFrame,
                          extra_structs: list[Column] | None = None) -> DataFrame:
     """Branches 1+2+4+5+6 in ONE scan + ONE explode: every per-row
@@ -274,19 +317,27 @@ def fused_scalar_triples(extracted: DataFrame,
     extracted table; in local mode it also cuts task-launch overhead,
     which dominates at fixture scale."""
     e = extracted.where("parse_ok")
-    rdf_type = _alias_case({a: r["rdf_type"] for a, r in REPOS.items()})
     classname = _alias_case({a: r["classname"] for a, r in REPOS.items()})
     h = F.col("rfc_header")
-    identifier = F.coalesce(h["identifier"], F.col("basefile"))
+    identifier = _identifier_col()
     doc = F.col("doc_uri")
 
+    # bibo:shortTitle from the running page header, only when it differs
+    # from the full title (rfc.py:504-508)
+    short_title = F.when(F.col("short_title") != F.col("title"),
+                         F.col("short_title"))
+
     fixed = [
-        _ts(doc, ns.RDF_TYPE, rdf_type, True),
+        _ts(doc, ns.RDF_TYPE, _rdf_type_col(), True),
         _ts(doc, ns.DCT_TITLE, F.col("title"), lang=F.col("lang")),
+        _ts(doc, ns.BIBO_SHORTTITLE, short_title, lang=F.col("lang")),
         _ts(doc, ns.DCT_IDENTIFIER, identifier),
         _ts(doc, ns.PROV_WASGENERATEDBY, classname),
         _ts(doc, ns.DCT_ISSN, h["issn"]),
         _ts(doc, ns.DCT_ISSUED, h["issued"], datatype=ns.XSD_GYEARMONTH),
+        _ts(doc, ns.RFC_BCPNUMBER, h["bcpnumber"]),
+        _ts(doc, ns.RFC_STDNUMBER, h["stdnumber"]),
+        _ts(doc, ns.RFC_FYINUMBER, h["fyinumber"]),
     ]
     for key, (pred, dtype) in KNOWN_HEAD_META.items():
         fixed.append(_ts(doc, pred, F.col("head_meta").getItem(key),
@@ -308,16 +359,31 @@ def fused_scalar_triples(extracted: DataFrame,
     updates = F.transform(_arr(h["updates"]), _mint_rel(ns.RFC_UPDATES))
     obsoletes = F.transform(_arr(h["obsoletes"]), _mint_rel(ns.RFC_OBSOLETES))
 
+    is_rfc = F.col("alias") == "rfc"
+
     def _section_structs(s):
         subj = F.concat(doc, F.lit("#"), _frag(s["ordinal"]))
         parent = F.when(s["parent_ordinal"].isNull(), doc).otherwise(
             F.concat(doc, F.lit("#"), _frag(s["parent_ordinal"])))
-        chapter = F.when(~s["ordinal"].startswith("PS"), s["ordinal"])
+        is_ps = s["ordinal"].startswith("PS")
+        # rfc preamble parts carry ONLY type+title (PreambleSection
+        # renders no isPartOf/identifier/chapter, rfc.py:36-59 +
+        # distilled goldens); numbered rfc sections additionally get
+        # "RFC N, section X"@en identifiers (rfc.py:352-366) and
+        # @en-tagged chapters (xml:lang inheritance in the RDFa render)
+        chapter = F.when(~is_ps, s["ordinal"])
+        chapter_lang = F.when(is_rfc, F.col("lang"))
+        sec_ident = F.when(
+            is_rfc & ~is_ps,
+            F.concat(F.lit("RFC "), F.col("basefile"),
+                     F.lit(", section "), s["ordinal"]))
+        parent_obj = F.when(~(is_rfc & is_ps), parent)
         return F.array(
             _ts(subj, ns.RDF_TYPE, ns.BIBO_DOCUMENTPART, True),
             _ts(subj, ns.DCT_TITLE, s["title"], lang=F.col("lang")),
-            _ts(subj, ns.DCT_ISPARTOF, parent, True),
-            _ts(subj, ns.BIBO_CHAPTER, chapter),
+            _ts(subj, ns.DCT_IDENTIFIER, sec_ident, lang=F.col("lang")),
+            _ts(subj, ns.DCT_ISPARTOF, parent_obj, True),
+            _ts(subj, ns.BIBO_CHAPTER, chapter, lang=chapter_lang),
         )
 
     sections = F.flatten(F.transform(_arr(F.col("sections")),
@@ -329,7 +395,12 @@ def fused_scalar_triples(extracted: DataFrame,
         minted = compile_coin(
             RFC_COIN_TEMPLATES, BASE_URL,
             {"rfcnum": c["rfcnum"], "secref": c["secref"]})
-        obj = F.when(c["kind"] == "url", c["url"]).otherwise(minted)
+        # 'sec' = bare doc-relative section citation (rfc.py:430-436:
+        # empty base + "#S" + sec resolves against the document)
+        obj = (F.when(c["kind"] == "url", c["url"])
+               .when(c["kind"] == "sec",
+                     F.concat(doc, F.lit("#S"), c["secref"]))
+               .otherwise(minted))
         return _ts(subj, ns.DCT_REFERENCES, obj, True)
 
     citations = F.transform(_arr(F.col("citations")), _citation_struct)

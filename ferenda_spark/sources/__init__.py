@@ -16,23 +16,29 @@ REPOS = {
         "filter_selectors": ("script",),
         "structure": None,
         "lang": "en",
+        "citation_grammars": ("url",),
     },
     "w3c": {
         "rdf_type": ns.BIBO_STANDARD,
-        "classname": "ferenda.sources.tech.W3Standards",
+        # qualified_class_name() -> module path + class (w3c.py)
+        "classname": "ferenda.sources.tech.w3c.W3Standards",
         "content_selector": "body",
         # w3c.py:30-31
         "filter_selectors": ("script", "div.toc", "div.head"),
         "structure": "w3c",
         "lang": "en",
+        "citation_grammars": ("url",),
     },
     "rfc": {
-        "rdf_type": ns.BIBO_STANDARD,
-        "classname": "ferenda.sources.tech.RFC",
+        # default when no BCP/STD/FYI header key overrides (rfc.py:494-497)
+        "rdf_type": ns.term("rfc", "RFC"),
+        "classname": "ferenda.sources.tech.rfc.RFC",
         "content_selector": "body",
         "filter_selectors": ("script",),
         "structure": "rfc",
         "lang": "en",
+        # the RFC repo's CitationParser has NO url grammar (rfc.py:429-451)
+        "citation_grammars": ("rfc",),
     },
 }
 

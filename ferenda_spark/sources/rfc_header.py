@@ -30,6 +30,8 @@ def parse_rfc_header(header: str) -> dict:
         "publisher": left[0] if left else None,
         "identifier": None, "category": None, "issn": None, "issued": None,
         "creators": [], "rightsholders": [], "updates": [], "obsoletes": [],
+        "rdftype": None, "bcpnumber": None, "stdnumber": None,
+        "fyinumber": None,
     }
     for line in left[1:]:
         if not line.strip() or ": " not in line:
@@ -47,7 +49,20 @@ def parse_rfc_header(header: str) -> dict:
             nums = [m.group(0) for part in value.split(", ")
                     if (m := _NUM_RE.search(part))]
             out["updates" if key == "Updates" else "obsoletes"] = nums
+        elif key == "BCP":
+            out["bcpnumber"] = value
+            out["rdftype"] = "BCP"
+        elif key == "STD":
+            # the reference assigns rfc:FYI here (rfc.py:606-608);
+            # mirrored because its goldens encode that behavior
+            out["stdnumber"] = value
+            out["rdftype"] = "FYI"
+        elif key == "FYI":
+            out["fyinumber"] = value
+            out["rdftype"] = "FYI"
     for line in right:
+        if not line:
+            continue
         if _CREATOR_RE.match(line):
             out["creators"].append(line)
         elif (m := _DATE_RE.match(line)) and m.group(1) in _MONTHS:

@@ -9,7 +9,8 @@ import pytest
 from ferenda_spark.fixtures.webpages import gen_rows
 from ferenda_spark.operators.citations import find_citations
 from ferenda_spark.operators.extract import extract_one, url_to_repo
-from ferenda_spark.operators.fsm import rfc_structure, w3c_structure
+from ferenda_spark.operators.fsm import w3c_structure
+from ferenda_spark.operators.rfc_parse import parse_rfc_text
 from ferenda_spark.sources.rfc_header import parse_rfc_header
 
 ROWS = gen_rows(60)
@@ -59,13 +60,55 @@ def test_rfc_header_parse():
 
 
 def test_rfc_structure_nesting():
-    paras = ["1.  Intro", "   text a", "1.1.  Scope", "   text b",
-             "2.  Next", "   text c"]
-    rows = rfc_structure(paras)
-    assert [(r["ordinal"], r["kind"], r["parent_ordinal"]) for r in rows] == [
+    txt = ("Network Working Group                         J. Smith\n"
+           "Request for Comments: 10                      June 1999\n"
+           "\n"
+           "             A Title\n"
+           "\n"
+           "Abstract\n"
+           "\n"
+           "   Preamble text.\n"
+           "\n"
+           "1.  Intro\n\n   text a\n\n1.1.  Scope\n\n   text b\n\n"
+           "2.  Next\n\n   text c\n")
+    r = parse_rfc_text(txt, "10")
+    assert r["ok"] and r["title"] == "A Title"
+    rows = r["sections"]
+    assert [(x["ordinal"], x["kind"], x["parent_ordinal"]) for x in rows] == [
+        ("PS1", "preamblesection", None),
         ("1", "section", None), ("1.1", "subsection", "1"),
         ("2", "section", None)]
-    assert rows[0]["title"] == "Intro"
+    assert rows[1]["title"] == "Intro"
+    assert rows[1]["text"] == "text a"
+
+
+def test_rfc_structure_pagebreak_and_toc():
+    txt = ("Network Working Group                         J. Smith\n"
+           "Request for Comments: 10                      June 1999\n"
+           "\n"
+           "             The Long Form Document Title\n"
+           "\n"
+           "Abstract\n"
+           "\n"
+           "   Preamble text.\n"
+           "\n"
+           "Table of Contents\n"
+           "\n"
+           "   1. Intro ....... 2\n"
+           "\n"
+           "1.  Intro\n\n   text a\n\n"
+           "Smith                 Informational                 [Page 1]\n"
+           "\f\n"
+           "RFC 10             Short Title              June 1999\n"
+           "\n"
+           "   text b\n")
+    r = parse_rfc_text(txt, "10")
+    assert r["ok"]
+    # TOC preamble removed (rfc.py:477-480); shortTitle from the running
+    # page header (rfc.py:504-508); pagebreak text never reaches sections
+    assert [x["ordinal"] for x in r["sections"]] == ["PS1", "1"]
+    assert r["short_title"] == "Short Title"
+    assert r["sections"][1]["text"] == "text a text b"
 
 
 def test_w3c_structure_preamble_and_nesting():
@@ -85,7 +128,8 @@ def test_w3c_structure_preamble_and_nesting():
 def test_citation_patterns():
     cs = find_citations(
         "See RFC 2616 and section 2 of [RFC 5741], or "
-        "http://example.org/x?q=1#f, and (http://a.b/c)."
+        "http://example.org/x?q=1#f, and (http://a.b/c).",
+        grammars=("url", "rfc"),
     )
     by_kind = {}
     for c in cs:
@@ -94,3 +138,15 @@ def test_citation_patterns():
         ("2616", None), ("5741", "2")}
     assert {c["url"] for c in by_kind["url"]} == {
         "http://example.org/x?q=1#f", "http://a.b/c"}
+
+
+def test_citation_rfc_grammar_quirks():
+    # zero-stripping, bracket-compact, doc-relative and dots-only forms
+    cs = find_citations(
+        "Per [RFC0822] and Section 3.2, see also the subsection. 9 form.",
+        grammars=("rfc",),
+    )
+    got = {(c["kind"], c["rfcnum"], c["secref"]) for c in cs}
+    assert ("rfc", "822", None) in got
+    assert ("sec", None, "3.2") in got
+    assert ("sec", None, "") in got  # 'subsection.' pyparsing quirk

@@ -43,21 +43,25 @@ def test_spark_text_byte_identical(spark, extracted):
 
 
 def test_triples_precision_recall(spark, extracted):
-    got = all_triples(extracted, commondata_df(spark)).select(*KEY)
-    want = golden_triples_df(spark, N).select(*KEY)
-    n_got, n_want = got.count(), want.count()
-    n_hit = got.intersect(want).count()
-    precision = n_hit / n_got
-    recall = n_hit / n_want
+    # set comparison via collected tuples (KEY rows are small at N=40);
+    # DataFrame.intersect on this plan trips a Spark 4.1 internal
+    # attribute-binding bug (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND)
+    got_df = all_triples(extracted, commondata_df(spark)).select(*KEY)
+    want_df = golden_triples_df(spark, N).select(*KEY)
+    got = {tuple(r) for r in got_df.collect()}
+    want = {tuple(r) for r in want_df.collect()}
+    n_hit = len(got & want)
+    precision = n_hit / len(got)
+    recall = n_hit / len(want)
     if precision < 1.0 or recall < 1.0:
         print("MISSING (want - got):")
-        for r in want.exceptAll(got).limit(12).collect():
+        for r in sorted(want - got)[:12]:
             print("  ", r)
         print("EXTRA (got - want):")
-        for r in got.exceptAll(want).limit(12).collect():
+        for r in sorted(got - want)[:12]:
             print("  ", r)
-    assert precision >= 0.95, f"precision {precision:.3f} ({n_hit}/{n_got})"
-    assert recall >= 0.95, f"recall {recall:.3f} ({n_hit}/{n_want})"
+    assert precision >= 0.95, f"precision {precision:.3f} ({n_hit}/{len(got)})"
+    assert recall >= 0.95, f"recall {recall:.3f} ({n_hit}/{len(want)})"
 
 
 def test_triples_schema_invariants(spark, extracted):
