@@ -52,6 +52,19 @@ def salted_join(facts: DataFrame, dim: DataFrame, key: str,
     return out.drop("_salt")
 
 
+def _dep_objs(triples: DataFrame, extra_cols: tuple = ()) -> DataFrame:
+    """The object-URI projection of the J2 join: every URI object except
+    rdf:type / owl:sameAs, fragment split off (the dependency is on the
+    whole target document)."""
+    return (
+        triples.where("obj_is_uri")
+        .where(~F.col("pred").isin(ns.RDF_TYPE, ns.term("owl", "sameAs")))
+        .select(F.col("url").alias("from_url"),
+                F.split(F.col("obj"), "#")[0].alias("target_doc"),
+                *extra_cols)
+    )
+
+
 def dependency_join(triples: DataFrame) -> DataFrame:
     """J2: dependencies(from_url, to_url) — every URI object that is the
     subject (or subject-document) of some OTHER document.  The reference
@@ -59,14 +72,7 @@ def dependency_join(triples: DataFrame) -> DataFrame:
     (documentrepository.py:1889-1926); here it is one self-join.
 
     Excludes rdf:type / owl:sameAs objects like the reference does."""
-    objs = (
-        triples.where("obj_is_uri")
-        .where(~F.col("pred").isin(ns.RDF_TYPE, ns.term("owl", "sameAs")))
-        # fragment citations point at a *part*; the dependency is on the
-        # whole target document (split off '#...')
-        .select(F.col("url").alias("from_url"),
-                F.split(F.col("obj"), "#")[0].alias("target_doc"))
-    )
+    objs = _dep_objs(triples)
     docs = triples.select(F.col("url").alias("to_url")).distinct()
     return (
         objs.join(docs, objs.target_doc == docs.to_url, "inner")
@@ -74,6 +80,43 @@ def dependency_join(triples: DataFrame) -> DataFrame:
         .select("from_url", "to_url")
         .dropDuplicates()
     )
+
+
+def incremental_dependency_join(triples_new: DataFrame,
+                                triples_prior: DataFrame) -> DataFrame:
+    """J2 maintained INCREMENTALLY (VERDICT r01 #4): the dependency rows
+    a new batch adds are exactly
+
+      (a) the new batch's object URIs joined against ALL documents, plus
+      (b) the prior graph's object URIs joined against documents that
+          FIRST appear in this batch (broadcast — the new-doc set is
+          batch-sized, never corpus-sized).
+
+    Commit cost is O(new batch) + one narrow column scan of the prior
+    graph's (url, pred, obj) projection — never a full-graph self-join.
+    Rows carry ``from_commit_ts`` (the from-document's version stamp) so
+    the current-version view can drop superseded rows (pipeline.py)."""
+    has_ts = "commit_ts" in triples_new.columns
+    extra = ("commit_ts",) if has_ts else ()
+
+    objs_new = _dep_objs(triples_new, extra)
+    docs_new = triples_new.select(F.col("url").alias("to_url")).distinct()
+    docs_prior = triples_prior.select(F.col("url").alias("to_url")).distinct()
+    docs_all = docs_prior.unionByName(docs_new).distinct()
+
+    a = objs_new.join(docs_all, objs_new.target_doc == docs_all.to_url)
+
+    brand_new = docs_new.join(docs_prior, "to_url", "left_anti")
+    objs_prior = _dep_objs(triples_prior, extra)
+    b = objs_prior.join(F.broadcast(brand_new),
+                        objs_prior.target_doc == F.col("to_url"))
+
+    cols = ["from_url", "to_url"] + (["from_commit_ts"] if has_ts else [])
+    out = (a.unionByName(b)
+           .where(F.col("from_url") != F.col("to_url")))
+    if has_ts:
+        out = out.withColumnRenamed("commit_ts", "from_commit_ts")
+    return out.select(*cols).dropDuplicates()
 
 
 def skeleton_entities(triples: DataFrame) -> DataFrame:

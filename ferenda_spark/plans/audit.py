@@ -43,6 +43,16 @@ def read_schema_columns(df: DataFrame) -> list[list[str]]:
     return out
 
 
+def has_partition_filter(df: DataFrame, fragment: str) -> bool:
+    """True iff a scan's PartitionFilters mentions ``fragment`` —
+    i.e. the filter prunes whole partitions, not just row groups."""
+    plan = explain_str(df)
+    for m in re.finditer(r"PartitionFilters: \[([^\]]*)\]", plan):
+        if fragment in m.group(1):
+            return True
+    return False
+
+
 def has_broadcast_hash_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in explain_str(df, mode="simple")
 
