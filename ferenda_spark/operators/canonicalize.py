@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ferenda_spark import ns
 
@@ -37,6 +38,51 @@ def lookup_labels(facts: DataFrame, commondata: DataFrame,
            .select(F.col("label").alias(label_col),
                    F.col("uri").alias("ent_uri")))
     return facts.join(F.broadcast(dim), label_col, "left")
+
+
+def lookup_labels_fuzzy(facts: DataFrame, commondata: DataFrame,
+                        label_col: str = "label",
+                        lookup_pred: str = ns.FOAF_NAME,
+                        cutoff: float = 0.8) -> DataFrame:
+    """J1 with the reference's fuzzy fallback
+    (documentrepository.py:472-485: exact label match first, then
+    difflib.get_close_matches(cutoff=0.8) against the dictionary).
+
+    Spark form: broadcast exact join; the UNMATCHED DISTINCT labels
+    (a tiny set) get an edit-distance residual pass against the
+    broadcast dictionary — similarity = 1 - levenshtein/max(len),
+    best match per label wins (ties broken by label).  Adds ``ent_uri``
+    (null = no match above cutoff -> caller falls back to the literal)
+    and ``match_kind`` ('exact' | 'fuzzy' | null).
+
+    Scale shape: the fact side never shuffles; the fuzzy cross join is
+    |distinct unmatched labels| x |dictionary| — both bounded, never
+    corpus-sized."""
+    dim = (commondata.where(F.col("pred") == lookup_pred)
+           .select(F.col("label").alias("_dim_label"),
+                   F.col("uri").alias("ent_uri")))
+    lbl = F.col(label_col)
+    exact = facts.join(F.broadcast(dim), lbl == F.col("_dim_label"), "left")
+    matched = (exact.where(F.col("ent_uri").isNotNull())
+               .drop("_dim_label")
+               .withColumn("match_kind", F.lit("exact")))
+    un = exact.where(F.col("ent_uri").isNull()).drop("_dim_label", "ent_uri")
+
+    sim = (F.lit(1.0) - F.levenshtein(lbl, F.col("_dim_label"))
+           / F.greatest(F.length(lbl), F.length("_dim_label")))
+    w = Window.partitionBy(label_col).orderBy(F.desc("sim"),
+                                              F.asc("_dim_label"))
+    fuzzy_map = (un.select(lbl.alias(label_col)).distinct()
+                 .join(F.broadcast(dim))
+                 .withColumn("sim", sim)
+                 .where(F.col("sim") >= cutoff)
+                 .withColumn("rn", F.row_number().over(w))
+                 .where("rn = 1")
+                 .select(label_col, "ent_uri"))
+    fuzzy = (un.join(F.broadcast(fuzzy_map), label_col, "left")
+             .withColumn("match_kind",
+                         F.when(F.col("ent_uri").isNotNull(), "fuzzy")))
+    return matched.unionByName(fuzzy.select(*matched.columns))
 
 
 def salted_join(facts: DataFrame, dim: DataFrame, key: str,

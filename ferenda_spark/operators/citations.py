@@ -56,6 +56,89 @@ _SEC_RE = re.compile(r"(?i:section)\s*([\d.]+)")
 _RFC_RE = re.compile(r"\[?RFC\s*(\d+)(?:\s*\])?")
 
 
+# --- eulaw grammar (citationpatterns.py:40-76): Swedish-language EU
+# legislation citations.  Faithful to the pyparsing grammar, NOT its
+# docstring ("direktiv 2007/42/EU" does not match — Association is only
+# EG|EEG).  The reference's uriformats.eulaw raises NotImplementedError
+# (uriformats.py:47-58); CELEX minting here is an engine extension. ----
+_EU_MONTH = ("januari|februari|mars|april|maj|juni|juli|augusti"
+             "|september|oktober|november|december")
+_EU_INST = r"(?:Europaparlamentets och rådets|rådets|kommissionens)"
+_EU_DIRECTIVE = r"(?:\d{2}|\d{4})/\d+/(?:EEG|EG)"
+_EU_REGULATION = r"\(\s*(?:EEG|EG)\s*\)\s*nr\s+\d+/(?:\d{2}|\d{4})"
+_EU_DATE = rf"\d{{1,2}}\s+(?:{_EU_MONTH})\s+\d{{4}}"
+_EU_ARTICLE = r"artikel\s+(\d+)(?:\.(\d+))?"
+_EU_LEGALACT = (rf"{_EU_INST}\s+(direktiv|förordning)\s+"
+                rf"((?:{_EU_DIRECTIVE})|(?:{_EU_REGULATION}))"
+                rf"\s+av\s+den\s+({_EU_DATE})")
+
+_EULAW_RES = [  # MatchFirst order: ArticleLegalact, Legalact, Article
+    ("article_legalact", re.compile(
+        rf"{_EU_ARTICLE}\s+i\s+{_EU_LEGALACT}")),
+    ("legalact", re.compile(_EU_LEGALACT)),
+    ("article", re.compile(_EU_ARTICLE)),
+]
+
+_EU_DIR_PARTS = re.compile(r"(\d{2}|\d{4})/(\d+)/(EEG|EG)")
+_EU_REG_PARTS = re.compile(r"\(\s*(EEG|EG)\s*\)\s*nr\s+(\d+)/(\d{2}|\d{4})")
+
+
+def _eulaw_parts(kind: str, m: re.Match) -> dict:
+    out = {"kind": "eulaw", "form": kind, "span": m.group(0),
+           "article": None, "subarticle": None, "acttype": None,
+           "year": None, "ordinal": None, "association": None,
+           "date": None}
+    g = m.groups()
+    if kind in ("article_legalact", "article"):
+        out["article"], out["subarticle"] = g[0], g[1]
+    if kind in ("article_legalact", "legalact"):
+        off = 2 if kind == "article_legalact" else 0
+        out["acttype"], actref, out["date"] = g[off], g[off + 1], g[off + 2]
+        if dm := _EU_DIR_PARTS.fullmatch(actref):
+            out["year"], out["ordinal"], out["association"] = dm.groups()
+        elif rm := _EU_REG_PARTS.fullmatch(actref):
+            out["association"], out["ordinal"], out["year"] = rm.groups()
+    return out
+
+
+def find_eulaw_citations(text: str) -> list[dict]:
+    """All eulaw citation spans, non-overlapping, MatchFirst priority
+    (article+act > act > bare article) like the reference's
+    citationpatterns.eulaw."""
+    spans: list[tuple[int, int, dict]] = []
+    taken: list[tuple[int, int]] = []
+
+    def free(s, e):
+        return all(e <= ts or s >= te for ts, te in taken)
+
+    for kind, rx in _EULAW_RES:
+        for m in rx.finditer(text):
+            if free(m.start(), m.end()):
+                spans.append((m.start(), m.end(), _eulaw_parts(kind, m)))
+                taken.append((m.start(), m.end()))
+    spans.sort(key=lambda t: t[0])
+    return [d for _, _, d in spans]
+
+
+def eulaw_celex_uri(parts: dict) -> str | None:
+    """CELEX-style URI for a recognized act (engine extension; the
+    reference's formatter is unimplemented).  Sector 3, 4-digit year,
+    L=directive / R=regulation, 4-digit number; '#A<article>' fragment."""
+    uri = None
+    if parts["year"] and parts["ordinal"]:
+        y = parts["year"]
+        if len(y) == 2:
+            y = ("19" if int(y) > 50 else "20") + y
+        t = "L" if parts["acttype"] == "direktiv" else "R"
+        uri = f"http://eur-lex.europa.eu/CELEX:3{y}{t}{int(parts['ordinal']):04d}"
+    if uri and parts["article"]:
+        frag = parts["article"]
+        if parts["subarticle"]:
+            frag += "." + parts["subarticle"]
+        uri += f"#A{frag}"
+    return uri
+
+
 def url_parts(text: str) -> dict | None:
     """Parse ``text`` as one url; parts dict like the reference's
     ParseResults (absent keys omitted), or None."""

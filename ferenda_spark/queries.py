@@ -224,46 +224,65 @@ def q_dedup_exact(spark, sf_dir):
 
 
 _N_MINHASH = 8
-# affine permutations over Z_p: ONE md5 per shingle, 8 derived hashes
+# affine permutations over Z_p: ONE md5 per shingle, derived hashes
 # (a_j * h + b_j) mod p — 8x less hashing than md5-per-permutation, and
-# portable (identical integer arithmetic in Spark and DuckDB).
+# portable (identical integer arithmetic in Spark and DuckDB).  16
+# constants support a production config (e.g. 16 perms / 8 bands);
+# the oracle-gated default stays the small 8 x (4 bands x 2 rows).
 _MH_P = 2147483647
 _MH_A = [179424673, 257885161, 373587883, 479001599,
-         618970019, 715827883, 858599503, 982451653]
+         618970019, 715827883, 858599503, 982451653,
+         122420729, 160481183, 198491317, 236887699,
+         275604541, 314606869, 353868013, 393342739]
 _MH_B = [15485863, 32452843, 49979687, 67867967,
-         86028121, 104395301, 122949823, 141650939]
+         86028121, 104395301, 122949823, 141650939,
+         160481219, 179424691, 198491329, 217645199,
+         236887691, 256203221, 275604547, 295075153]
+
+
+def _hashed_shingles_df(spark, sf_dir) -> DataFrame:
+    """Distinct bigram shingles hashed to LONG before any shuffle — the
+    string shingle never leaves the map side, cutting the dominant
+    shuffle/cache bytes ~10x at corpus scale (VERDICT r01 #10)."""
+    return _shingles_df(spark, sf_dir).select("doc_id",
+                                              _h(F.col("tok")).alias("h"))
+
+
+def _minhash_aggs(n_perms: int) -> list:
+    hp = F.col("h") % _MH_P
+    return [F.min((F.lit(_MH_A[j]) * hp + F.lit(_MH_B[j])) % _MH_P)
+            .alias(f"mh{j}") for j in range(n_perms)]
 
 
 def q_dedup_minhash_signature(spark, sf_dir):
     """MinHash signatures (8 affine perms) over distinct word-bigram
     shingles — the scale path for near-dup detection
     (shingle -> minhash -> band)."""
-    sh = _shingles_df(spark, sf_dir).withColumn("hp", _h(F.col("tok")) % _MH_P)
-    aggs = [F.min((F.lit(_MH_A[j]) * F.col("hp") + F.lit(_MH_B[j])) % _MH_P)
-            .alias(f"mh{j}") for j in range(_N_MINHASH)]
-    return sh.groupBy("doc_id").agg(*aggs)
+    sh = _hashed_shingles_df(spark, sf_dir)
+    return sh.groupBy("doc_id").agg(*_minhash_aggs(_N_MINHASH))
 
 
-def q_dedup_lsh_pairs(spark, sf_dir):
-    """LSH banding (4 bands x 2 rows) over the minhash signatures ->
-    candidate pairs -> exact bigram-jaccard verification.  The shingle
-    and signature tables feed multiple downstream joins, so persist
-    them (at cluster scale these are materialized intermediate
-    tables)."""
-    sh = _shingles_df(spark, sf_dir).persist()
-    sh2 = sh.withColumn("hp", _h(F.col("tok")) % _MH_P)
-    aggs = [F.min((F.lit(_MH_A[j]) * F.col("hp") + F.lit(_MH_B[j])) % _MH_P)
-            .alias(f"mh{j}") for j in range(_N_MINHASH)]
-    sig = sh2.groupBy("doc_id").agg(*aggs).persist()
-    bands = []
-    for b in range(4):
-        key = F.md5(F.concat(
-            F.col(f"mh{2 * b}").cast("string"), F.lit("-"),
-            F.col(f"mh{2 * b + 1}").cast("string")))
-        bands.append(sig.select("doc_id", F.lit(b).alias("band"),
-                                key.alias("bkey")))
-    bb = bands[0]
-    for x in bands[1:]:
+def q_dedup_lsh_pairs(spark, sf_dir, n_perms: int = _N_MINHASH,
+                      bands: int = 4, rows_per_band: int = 2):
+    """LSH banding (default 4 bands x 2 rows) over the minhash
+    signatures -> candidate pairs -> exact bigram-jaccard verification.
+    Parameterized: a production near-dup config is n_perms=16, bands=8
+    (more recall); the oracle runs the default.  The shingle and
+    signature tables feed multiple downstream joins, so persist them
+    (at cluster scale these are materialized intermediate tables);
+    shingles travel as 8-byte hashes, never strings."""
+    assert bands * rows_per_band <= n_perms <= len(_MH_A)
+    sh = _hashed_shingles_df(spark, sf_dir).persist()
+    sig = sh.groupBy("doc_id").agg(*_minhash_aggs(n_perms)).persist()
+    band_frames = []
+    for b in range(bands):
+        key = F.md5(F.concat_ws("-", *[
+            F.col(f"mh{rows_per_band * b + r}").cast("string")
+            for r in range(rows_per_band)]))
+        band_frames.append(sig.select("doc_id", F.lit(b).alias("band"),
+                                      key.alias("bkey")))
+    bb = band_frames[0]
+    for x in band_frames[1:]:
         bb = bb.unionByName(x)
     cand = (bb.alias("a").join(
         bb.alias("b"),
@@ -279,7 +298,7 @@ def q_dedup_lsh_pairs(spark, sf_dir):
     inter = (cand.join(sh.alias("x"), F.col("x.doc_id") == F.col("doc_a"))
              .join(sh.alias("y"),
                    (F.col("y.doc_id") == F.col("doc_b"))
-                   & (F.col("x.tok") == F.col("y.tok")))
+                   & (F.col("x.h") == F.col("y.h")))
              .groupBy("doc_a", "doc_b")
              .agg(F.count("*").alias("inter")))
     return (inter
@@ -394,16 +413,41 @@ def q_doc_fingerprint(spark, sf_dir):
     )
 
 
+_LANG_SLUGS = (("en", "english"), ("fr", "francais"), ("es", "espanol"),
+               ("de", "deutsch"), ("zh", "zhongwen"))
+
+
 def q_coin_uri_mint(spark, sf_dir):
-    """C7 COIN minting via the real compiled when()-chain minter."""
-    from ferenda_spark.operators.coin import CoinTemplate, SlugTransform, compile_coin
+    """C7 COIN minting via the real compiled when()-chain minter, over a
+    TWO-LEVEL space (C7 completion, VERDICT r01 #8):
+
+    - level 1: entity URI from the slugged label (space base);
+    - level 2: a per-document item whose base is the level-1 URI
+      (relToBase — coin.py:176-197 get_base) with a fragmentTemplate and
+      a slugFrom-indirected language binding (coin.py:203-229): the lang
+      code resolves through the space's slug dictionary before
+      substitution; unknown codes leave the item unminted (null)."""
+    from ferenda_spark.operators.coin import (CoinBinding, CoinTemplate,
+                                              SlugTransform, compile_coin)
     d = _read(spark, sf_dir, "documents")
     d = d.withColumn("label", F.concat(F.lit("Source "), "source"))
     minted = compile_coin(
         [CoinTemplate(uri_template="{+base}ext/{label}", bindings=("label",),
                       slug=SlugTransform(to_lower=True, space_repl="+"))],
         BASE, {"label": F.col("label")})
-    return d.select("doc_id", "label", minted.alias("minted_uri"))
+    d = d.withColumn("minted_uri", minted)
+    item = compile_coin(
+        [CoinTemplate(fragment_template="doc-{docnum}-{langslug}",
+                      bindings=(CoinBinding("docnum"),
+                                CoinBinding("langslug",
+                                            slug_from=_LANG_SLUGS)),
+                      rel_to_base="parent")],
+        BASE,
+        {"docnum": F.col("doc_id").cast("string"),
+         "langslug": F.col("lang"),
+         "parent": F.col("minted_uri")})
+    return d.select("doc_id", "label", "minted_uri",
+                    item.alias("minted_item_uri"))
 
 
 def q_entity_link(spark, sf_dir):
@@ -417,14 +461,57 @@ def q_entity_link(spark, sf_dir):
             .select("doc_id", "source", "ent_uri"))
 
 
+def q_entity_link_fuzzy(spark, sf_dir):
+    """J1 completion: entity linking WITH the reference's fuzzy fallback
+    (lookup_resource, documentrepository.py:472-485 difflib cutoff=0.8)
+    — exact broadcast join, then an edit-distance residual pass over the
+    unmatched distinct labels (canonicalize.lookup_labels_fuzzy is the
+    operator twin).  Labels are synthesized with deterministic
+    misspellings (every 5th doc drops the last char) so the oracle can
+    reproduce both passes; similarity = 1 - levenshtein/max(len)."""
+    d = _read(spark, sf_dir, "documents")
+    full = F.concat(F.lit("Publisher "), F.col("source"))
+    label = F.when(F.col("doc_id") % 5 == 0,
+                   F.left(full, F.length(full) - 1)).otherwise(full)
+    facts = d.select("doc_id", label.alias("label"))
+    dim = (d.select("source").distinct()
+           .select(F.concat(F.lit("Publisher "), "source").alias("dlabel"),
+                   F.concat(F.lit(BASE + "ext/"), "source").alias("ent_uri")))
+    exact = facts.join(F.broadcast(dim),
+                       facts.label == dim.dlabel, "left")
+    matched = (exact.where(F.col("ent_uri").isNotNull()).drop("dlabel")
+               .withColumn("match_kind", F.lit("exact")))
+    un = exact.where(F.col("ent_uri").isNull()).drop("dlabel", "ent_uri")
+    sim = (F.lit(1.0) - F.levenshtein("label", "dlabel")
+           / F.greatest(F.length("label"), F.length("dlabel")))
+    w = Window.partitionBy("label").orderBy(F.desc("sim"), F.asc("dlabel"))
+    fmap = (un.select("label").distinct()
+            .join(F.broadcast(dim))
+            .withColumn("sim", F.round(sim, 6))
+            .where(F.col("sim") >= 0.8)
+            .withColumn("rn", F.row_number().over(w)).where("rn = 1")
+            .select("label", "ent_uri"))
+    fuzzy = (un.join(F.broadcast(fmap), "label", "left")
+             .withColumn("match_kind",
+                         F.when(F.col("ent_uri").isNotNull(), "fuzzy")))
+    return matched.unionByName(fuzzy.select(*matched.columns))
+
+
+def _with_doc_count(d: DataFrame) -> DataFrame:
+    """Attach the table's row count as a broadcast scalar column `_n` —
+    the plan-fused form of a COUNT subquery (no driver-side eager
+    count() while *building* the DataFrame; VERDICT r01 'wrong' #3)."""
+    return d.crossJoin(F.broadcast(d.agg(F.count("*").alias("_n"))))
+
+
 def q_dependency_join(spark, sf_dir):
     """J2 dependency join: each doc references target (doc_id*7+3) mod N;
     keep references whose target exists and differs
     (relate_dependencies, documentrepository.py:1889-1926)."""
     d = _read(spark, sf_dir, "documents")
-    n = d.count()  # deterministic; mirrors a dimension-count subquery
-    refs = d.select(F.col("doc_id").alias("from_doc"),
-                    ((F.col("doc_id") * 7 + 3) % n).alias("to_doc"))
+    refs = (_with_doc_count(d)
+            .select(F.col("doc_id").alias("from_doc"),
+                    ((F.col("doc_id") * 7 + 3) % F.col("_n")).alias("to_doc")))
     docs = d.select(F.col("doc_id").alias("to_doc"))
     return (refs.join(docs, "to_doc")
             .where(F.col("from_doc") != F.col("to_doc"))
@@ -488,6 +575,59 @@ def q_citations_rfc_regex(spark, sf_dir):
     return out.withColumn("minted_uri", uri)
 
 
+_SV_MONTHS = ["januari", "februari", "mars", "april", "maj", "juni",
+              "juli", "augusti", "september", "oktober", "november",
+              "december"]
+
+
+def q_citations_eulaw(spark, sf_dir):
+    """C4 completion: the eulaw stock grammar (Swedish EU-law citations,
+    citationpatterns.py:40-76) as columnar recognition + CELEX-style
+    minting (the reference's uriformats.eulaw is unimplemented —
+    uriformats.py:47-58; CELEX numbering is the documented intent).
+    The kernel twin is operators/citations.find_eulaw_citations
+    (unit-tested); the citation text is synthesized deterministically
+    per doc so the oracle can reproduce it."""
+    d = _read(spark, sf_dir, "documents")
+    month = F.element_at(F.array(*[F.lit(m) for m in _SV_MONTHS]),
+                         (F.col("doc_id") % 12 + 1).cast("int"))
+    year = (1990 + F.col("doc_id") % 30).cast("string")
+    ordn = (F.col("doc_id") % 200 + 1).cast("string")
+    art = (F.col("doc_id") % 50 + 1).cast("string")
+    sub = (F.col("doc_id") % 4 + 1).cast("string")
+    assoc = F.when(F.col("doc_id") % 3 == 1, "EEG").otherwise("EG")
+    is_dir = F.col("doc_id") % 2 == 0
+    acttype = F.when(is_dir, "direktiv").otherwise("förordning")
+    actref = F.when(is_dir, F.concat(year, F.lit("/"), ordn, F.lit("/"),
+                                     assoc)).otherwise(
+        F.concat(F.lit("("), assoc, F.lit(") nr "), ordn, F.lit("/"), year))
+    cite = F.concat(F.lit("Enligt artikel "), art, F.lit("."), sub,
+                    F.lit(" i rådets "), acttype, F.lit(" "), actref,
+                    F.lit(" av den 5 "), month, F.lit(" "), year,
+                    F.lit(" gäller detta."))
+    t = d.select("doc_id", cite.alias("cite_text"))
+    g_art = F.regexp_extract("cite_text", r"artikel (\d+)\.(\d+)", 1)
+    g_sub = F.regexp_extract("cite_text", r"artikel (\d+)\.(\d+)", 2)
+    g_type = F.regexp_extract("cite_text", r"(direktiv|förordning)", 1)
+    dir_y = F.regexp_extract("cite_text", r"(\d{4})/(\d+)/(EG|EEG)", 1)
+    dir_o = F.regexp_extract("cite_text", r"(\d{4})/(\d+)/(EG|EEG)", 2)
+    dir_a = F.regexp_extract("cite_text", r"(\d{4})/(\d+)/(EG|EEG)", 3)
+    reg_a = F.regexp_extract("cite_text", r"\((EG|EEG)\) nr (\d+)/(\d{4})", 1)
+    reg_o = F.regexp_extract("cite_text", r"\((EG|EEG)\) nr (\d+)/(\d{4})", 2)
+    reg_y = F.regexp_extract("cite_text", r"\((EG|EEG)\) nr (\d+)/(\d{4})", 3)
+    yy = F.when(dir_y != "", dir_y).otherwise(reg_y)
+    oo = F.when(dir_o != "", dir_o).otherwise(reg_o)
+    aa = F.when(dir_a != "", dir_a).otherwise(reg_a)
+    celex = F.concat(
+        F.lit("http://eur-lex.europa.eu/CELEX:3"), yy,
+        F.when(g_type == "direktiv", "L").otherwise("R"),
+        F.lpad(oo, 4, "0"), F.lit("#A"), g_art, F.lit("."), g_sub)
+    return t.select("doc_id", g_type.alias("acttype"), yy.alias("year"),
+                    oo.alias("ordinal"), aa.alias("association"),
+                    g_art.alias("article"), g_sub.alias("subarticle"),
+                    celex.alias("celex_uri"))
+
+
 def q_facet_year_selector(spark, sf_dir):
     """A5 year() selector + A3 pageset: distinct years with counts
     (facet.py:156-175; toc_pagesets)."""
@@ -507,13 +647,36 @@ def q_facet_title_sortkey(spark, sf_dir):
     return d.select("doc_id", k.alias("sortkey"))
 
 
+_FT_QUERY = ("spark", "data")
+
+
 def q_fulltext_search_paging(spark, sf_dir):
-    """A8 fulltext query + paging: term filter, deterministic rank, page 2
-    (wsgiapp.query, wsgiapp.py:404-571; pagenum/pagelen)."""
-    d = _read(spark, sf_dir, "documents")
-    return (d.where(F.col("text").contains("spark"))
-            .orderBy(F.desc("n_chars"), F.asc("doc_id"))
-            .select("doc_id", "n_chars")
+    """A8 fulltext query + paging with REAL relevance (VERDICT r01 #5):
+    tokenize-explode inverted index restricted to the query terms,
+    tf-idf scoring (score = sum tf * ln(1 + N/df)), deterministic
+    tie-break, page 2 (wsgiapp.query, wsgiapp.py:404-571 +
+    fulltextindex.py:165-199 ranked results).
+
+    Scale shape: the posting list is built only for the query terms
+    (filter directly after the token explode — never a full-corpus
+    index materialization per query), doc count N comes from a
+    broadcast scalar aggregate, not a driver-side count."""
+    d = _read_wide(spark, sf_dir, "documents")
+    toks = (d.withColumn("ts", F.expr(_TOKS))
+            .select("doc_id", F.explode("ts").alias("tok"))
+            .where(F.col("tok").isin(*_FT_QUERY)))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count("*").alias("_n"))
+    scored = (tf.join(F.broadcast(df_), "tok")
+              .crossJoin(F.broadcast(n))
+              .groupBy("doc_id")
+              .agg(F.round(F.sum(
+                  F.col("tf") * F.log(F.lit(1.0)
+                                      + F.col("_n").cast("double")
+                                      / F.col("df"))), 4).alias("score")))
+    return (scored.orderBy(F.desc("score"), F.asc("doc_id"))
+            .select("doc_id", "score")
             .offset(10).limit(10))
 
 
@@ -550,9 +713,9 @@ def q_dependency_closure_2hop(spark, sf_dir):
     SPARQL isPartOf*/references construct (annotations.rq:1-19,
     documentrepository.py:2471-2502)."""
     d = _read(spark, sf_dir, "documents")
-    n = d.count()
-    refs = d.select(F.col("doc_id").alias("src"),
-                    ((F.col("doc_id") * 7 + 3) % n).alias("dst"))
+    refs = (_with_doc_count(d)
+            .select(F.col("doc_id").alias("src"),
+                    ((F.col("doc_id") * 7 + 3) % F.col("_n")).alias("dst")))
     refs = refs.where(F.col("src") != F.col("dst"))
     hop2 = (refs.alias("a")
             .join(refs.alias("b"), F.col("a.dst") == F.col("b.src"))
@@ -628,10 +791,21 @@ def q_dedup_embedding_cosine(spark, sf_dir):
             .select("bucket", "vec_a", "vec_b", "cos"))
 
 
+_NGRAM_BLOCK_CAP = 64
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     """Token-trigram Jaccard near-dup with first-bigram blocking: docs
     sharing their opening word bigram are candidates (cheap blocking
-    key); trigram-set Jaccard is computed only within blocks."""
+    key); trigram-set Jaccard is computed only within blocks.
+
+    Blocks larger than _NGRAM_BLOCK_CAP docs are DROPPED before the
+    self-join: on a real web corpus the opening bigram is Zipfian
+    (boilerplate "skip to", "copyright ©"), and one hot block would
+    otherwise degenerate to O(B²) pairs on a single reducer (VERDICT
+    r01 scale-killer).  Mass in capped blocks is exactly what the
+    MinHash/LSH path (q_dedup_lsh_pairs) is for — its banding has no
+    per-key quadratic blowup."""
     d = _read_wide(spark, sf_dir, "documents")
     t = (d.withColumn("ts", F.expr(_TOKS)).where(F.size("ts") >= 3)
          .withColumn("block",
@@ -646,7 +820,10 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
          .persist())  # feeds both sides of the intersection join
     sizes = g.groupBy("doc_id").agg(F.count("*").alias("n"))
     tt = t.select("doc_id", "block").persist()  # slim blocking keys
-    cand = (tt.alias("a").join(tt.alias("b"), "block")
+    ok_blocks = (tt.groupBy("block").agg(F.count("*").alias("bn"))
+                 .where(F.col("bn") <= _NGRAM_BLOCK_CAP).select("block"))
+    tt_ok = tt.join(ok_blocks, "block", "left_semi")
+    cand = (tt_ok.alias("a").join(tt_ok.alias("b"), "block")
             .where(F.col("a.doc_id") < F.col("b.doc_id"))
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b")))
@@ -831,11 +1008,27 @@ def q_sameas_canonical(spark, sf_dir):
 def q_news_atom_pages(spark, sf_dir):
     """A6 atom archive pagination: global sort by updated desc, chunks
     of <=100 entries per page (news_write_atom,
-    documentrepository.py:3233+)."""
+    documentrepository.py:3233+).
+
+    Two-pass global row-number — NO partitionless Window (which funnels
+    every row through one task; VERDICT r01 scale-killer): rows get a
+    per-day rank (day = deterministic coarse bucket of the sort key),
+    and a broadcast prefix-sum of per-day counts turns local ranks into
+    global ones.  The only single-partition window runs over one row
+    per DAY, not per event."""
     e = _read(spark, sf_dir, "events")
-    w = Window.orderBy(F.desc("ts"), F.asc("event_id"))
-    return (e.select("event_id", "ts",
-                     F.row_number().over(w).cast("long").alias("rn"))
+    day = F.to_date("ts").alias("day")
+    w_local = Window.partitionBy("day").orderBy(F.desc("ts"),
+                                                F.asc("event_id"))
+    local = (e.select("event_id", "ts", day)
+             .withColumn("lrn", F.row_number().over(w_local)))
+    counts = local.groupBy("day").agg(F.count("*").alias("cnt"))
+    w_days = (Window.orderBy(F.desc("day"))
+              .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = counts.withColumn(
+        "off", F.coalesce(F.sum("cnt").over(w_days), F.lit(0)))
+    return (local.join(F.broadcast(offsets.select("day", "off")), "day")
+            .withColumn("rn", (F.col("lrn") + F.col("off")).cast("long"))
             .withColumn("page", ((F.col("rn") - 1) / F.lit(100))
                         .cast("long"))
             .groupBy("page")
@@ -896,12 +1089,12 @@ def q_pagerank_3iter(spark, sf_dir):
     loop pattern (J3 generalization); at scale each iteration is one
     shuffle on dst."""
     d = _read(spark, sf_dir, "documents")
-    n = d.count()
-    edges = (d.select(F.col("doc_id").alias("src"),
-                      ((F.col("doc_id") * 7 + 3) % n).alias("dst"))
+    dn = _with_doc_count(d)
+    edges = (dn.select(F.col("doc_id").alias("src"),
+                       ((F.col("doc_id") * 7 + 3) % F.col("_n")).alias("dst"))
              .where(F.col("src") != F.col("dst")))
-    nodes = d.select(F.col("doc_id").alias("node"))
-    ranks = nodes.select("node", (F.lit(1.0) / n).alias("rank"))
+    nodes = dn.select(F.col("doc_id").alias("node"), "_n")
+    ranks = nodes.select("node", (F.lit(1.0) / F.col("_n")).alias("rank"))
     out_deg = edges.groupBy("src").agg(F.count("*").alias("odeg"))
     for _ in range(3):
         contrib = (edges.join(ranks, edges.src == ranks.node)
@@ -911,7 +1104,7 @@ def q_pagerank_3iter(spark, sf_dir):
         ranks = (nodes.join(contrib.groupBy("node")
                             .agg(F.sum("c").alias("s")), "node", "left")
                  .select("node",
-                         (F.lit(0.15) / n
+                         (F.lit(0.15) / F.col("_n")
                           + 0.85 * F.coalesce("s", F.lit(0.0)))
                          .alias("rank")))
     return ranks.select("node", F.round("rank", 8).alias("rank"))
@@ -1075,11 +1268,15 @@ _mh_cols_sql = ", ".join(
     f"min(({_MH_A[j]} * hp + {_MH_B[j]}) % {_MH_P}) AS mh{j}"
     for j in range(_N_MINHASH))
 
-_HP_CTE = (f"shp AS (SELECT doc_id, "
-           f"{_H_SQL.format(x='tok')} % {_MH_P} AS hp FROM sh)")
+# shingles hashed to BIGINT before any aggregation/join — mirrors the
+# spark side's _hashed_shingles_df
+_SHH_CTE = (f"shh AS (SELECT doc_id, "
+            f"{_H_SQL.format(x='tok')} AS h FROM sh)")
+_HP_CTE = f"shp AS (SELECT doc_id, h % {_MH_P} AS hp FROM shh)"
 
 ORACLE["dedup_minhash_signature"] = f"""
 WITH {_SHINGLES_CTE.strip()},
+{_SHH_CTE},
 {_HP_CTE}
 SELECT doc_id, {_mh_cols_sql} FROM shp GROUP BY doc_id
 """
@@ -1091,17 +1288,18 @@ _band_sql = " UNION ALL ".join(
 
 ORACLE["dedup_lsh_pairs"] = f"""
 WITH {_SHINGLES_CTE.strip()},
+{_SHH_CTE},
 {_HP_CTE},
 sig AS (SELECT doc_id, {_mh_cols_sql} FROM shp GROUP BY doc_id),
 bands AS ({_band_sql}),
 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM bands a JOIN bands b
            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
 inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
           FROM cand c
-          JOIN sh x ON x.doc_id = c.doc_a
-          JOIN sh y ON y.doc_id = c.doc_b AND y.tok = x.tok
+          JOIN shh x ON x.doc_id = c.doc_a
+          JOIN shh y ON y.doc_id = c.doc_b AND y.h = x.h
           GROUP BY 1, 2)
 SELECT i.doc_a, i.doc_b,
        round(i.inter * 1.0 / (sa.n + sb.n - i.inter), 4) AS jaccard
@@ -1188,15 +1386,57 @@ SELECT doc_id,
 FROM t
 """
 
+_LANG_SLUG_SQL = " ".join(
+    f"WHEN lang = '{k}' THEN '{v}'" for k, v in _LANG_SLUGS)
+
 ORACLE["coin_uri_mint"] = f"""
-SELECT doc_id, 'Source ' || source AS label,
-       '{BASE}ext/' || regexp_replace(lower('Source ' || source),
-                                      '\\s+', '+', 'g') AS minted_uri
-FROM documents
+WITH m AS (
+  SELECT doc_id, lang, 'Source ' || source AS label,
+         '{BASE}ext/' || regexp_replace(lower('Source ' || source),
+                                        '\\s+', '+', 'g') AS minted_uri
+  FROM documents)
+SELECT doc_id, label, minted_uri,
+       CASE WHEN (CASE {_LANG_SLUG_SQL} END) IS NOT NULL
+            THEN minted_uri || '#doc-' || doc_id::VARCHAR || '-' ||
+                 (CASE {_LANG_SLUG_SQL} END)
+       END AS minted_item_uri
+FROM m
 """
 
 ORACLE["entity_link"] = f"""
 SELECT doc_id, source, '{BASE}ext/' || source AS ent_uri FROM documents
+"""
+
+ORACLE["entity_link_fuzzy"] = f"""
+WITH facts AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 5 = 0
+      THEN left('Publisher ' || source, length('Publisher ' || source) - 1)
+      ELSE 'Publisher ' || source END AS label
+  FROM documents),
+dim AS (SELECT DISTINCT 'Publisher ' || source AS dlabel,
+               '{BASE}ext/' || source AS ent_uri FROM documents),
+exact AS (SELECT f.doc_id, f.label, d.ent_uri
+          FROM facts f LEFT JOIN dim d ON f.label = d.dlabel),
+matched AS (SELECT doc_id, label, ent_uri, 'exact' AS match_kind
+            FROM exact WHERE ent_uri IS NOT NULL),
+un AS (SELECT doc_id, label FROM exact WHERE ent_uri IS NULL),
+scored AS (
+  SELECT u.label, d.dlabel, d.ent_uri,
+         round(1 - levenshtein(u.label, d.dlabel)::DOUBLE
+                   / greatest(length(u.label), length(d.dlabel)), 6) AS sim
+  FROM (SELECT DISTINCT label FROM un) u CROSS JOIN dim d),
+fmap AS (
+  SELECT label, ent_uri FROM (
+    SELECT label, ent_uri,
+           row_number() OVER (PARTITION BY label
+                              ORDER BY sim DESC, dlabel ASC) AS rn
+    FROM scored WHERE sim >= 0.8) WHERE rn = 1),
+fuzzy AS (SELECT u.doc_id, u.label, m.ent_uri,
+                 CASE WHEN m.ent_uri IS NOT NULL THEN 'fuzzy' END
+                   AS match_kind
+          FROM un u LEFT JOIN fmap m ON u.label = m.label)
+SELECT * FROM matched UNION ALL SELECT * FROM fuzzy
 """
 
 ORACLE["dependency_join"] = """
@@ -1239,6 +1479,50 @@ SELECT doc_id, kind, rfcnum, secref,
 FROM c
 """
 
+_SV_MONTHS_SQL = ", ".join(f"({i + 1},'{m}')" for i, m in enumerate(_SV_MONTHS))
+
+ORACLE["citations_eulaw"] = f"""
+WITH months(mn, nm) AS (VALUES {_SV_MONTHS_SQL}),
+t AS (
+  SELECT doc_id,
+    'Enligt artikel ' || (doc_id % 50 + 1)::VARCHAR || '.' ||
+    (doc_id % 4 + 1)::VARCHAR || ' i rådets ' ||
+    (CASE WHEN doc_id % 2 = 0 THEN 'direktiv' ELSE 'förordning' END) || ' ' ||
+    (CASE WHEN doc_id % 2 = 0
+          THEN (1990 + doc_id % 30)::VARCHAR || '/' ||
+               (doc_id % 200 + 1)::VARCHAR || '/' ||
+               (CASE WHEN doc_id % 3 = 1 THEN 'EEG' ELSE 'EG' END)
+          ELSE '(' || (CASE WHEN doc_id % 3 = 1 THEN 'EEG' ELSE 'EG' END) ||
+               ') nr ' || (doc_id % 200 + 1)::VARCHAR || '/' ||
+               (1990 + doc_id % 30)::VARCHAR END) ||
+    ' av den 5 ' || (SELECT nm FROM months WHERE mn = doc_id % 12 + 1) ||
+    ' ' || (1990 + doc_id % 30)::VARCHAR || ' gäller detta.' AS cite_text
+  FROM documents),
+x AS (
+  SELECT doc_id,
+    regexp_extract(cite_text, 'artikel (\\d+)\\.(\\d+)', 1) AS article,
+    regexp_extract(cite_text, 'artikel (\\d+)\\.(\\d+)', 2) AS subarticle,
+    regexp_extract(cite_text, '(direktiv|förordning)', 1) AS acttype,
+    regexp_extract(cite_text, '(\\d{{4}})/(\\d+)/(EG|EEG)', 1) AS dy,
+    regexp_extract(cite_text, '(\\d{{4}})/(\\d+)/(EG|EEG)', 2) AS do_,
+    regexp_extract(cite_text, '(\\d{{4}})/(\\d+)/(EG|EEG)', 3) AS da,
+    regexp_extract(cite_text, '\\((EG|EEG)\\) nr (\\d+)/(\\d{{4}})', 1) AS ra,
+    regexp_extract(cite_text, '\\((EG|EEG)\\) nr (\\d+)/(\\d{{4}})', 2) AS ro,
+    regexp_extract(cite_text, '\\((EG|EEG)\\) nr (\\d+)/(\\d{{4}})', 3) AS ry
+  FROM t)
+SELECT doc_id, acttype,
+  (CASE WHEN dy <> '' THEN dy ELSE ry END) AS year,
+  (CASE WHEN do_ <> '' THEN do_ ELSE ro END) AS ordinal,
+  (CASE WHEN da <> '' THEN da ELSE ra END) AS association,
+  article, subarticle,
+  'http://eur-lex.europa.eu/CELEX:3' ||
+  (CASE WHEN dy <> '' THEN dy ELSE ry END) ||
+  (CASE WHEN acttype = 'direktiv' THEN 'L' ELSE 'R' END) ||
+  lpad((CASE WHEN do_ <> '' THEN do_ ELSE ro END), 4, '0') ||
+  '#A' || article || '.' || subarticle AS celex_uri
+FROM x
+"""
+
 ORACLE["facet_year_selector"] = """
 SELECT year(ts)::BIGINT AS year, count(*)::BIGINT AS n
 FROM events GROUP BY year(ts)
@@ -1252,10 +1536,20 @@ SELECT doc_id,
 FROM documents
 """
 
-ORACLE["fulltext_search_paging"] = """
-SELECT doc_id, n_chars FROM documents
-WHERE text LIKE '%spark%'
-ORDER BY n_chars DESC, doc_id ASC
+ORACLE["fulltext_search_paging"] = f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents),
+q(term) AS (VALUES ('spark'), ('data')),
+tf AS (SELECT doc_id, tok, count(*) AS tf
+       FROM toks JOIN q ON tok = term GROUP BY 1, 2),
+df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY tok),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id,
+         round(sum(tf.tf * ln(1 + (SELECT n FROM n)::DOUBLE / df.df)), 4)
+           AS score
+  FROM tf JOIN df USING (tok) GROUP BY tf.doc_id)
+SELECT doc_id, score FROM scored
+ORDER BY score DESC, doc_id ASC
 LIMIT 10 OFFSET 10
 """
 
@@ -1348,9 +1642,13 @@ g AS (
   SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS tok
   FROM tt, unnest(range(1, len(ts) - 1)) AS u(i)),
 sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+ok_blocks AS (
+  SELECT block FROM tt GROUP BY block
+  HAVING count(*) <= {_NGRAM_BLOCK_CAP}),
 cand AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM tt a JOIN tt b ON a.block = b.block AND a.doc_id < b.doc_id),
+  FROM tt a JOIN tt b ON a.block = b.block AND a.doc_id < b.doc_id
+  WHERE a.block IN (SELECT block FROM ok_blocks)),
 inter AS (
   SELECT c.doc_a, c.doc_b, count(*) AS inter
   FROM cand c JOIN g x ON x.doc_id = c.doc_a
@@ -1613,7 +1911,6 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_facet_pivot": q_kg_facet_pivot,
         "kg_stats_counts": q_kg_stats_counts,
         "kg_doc_triple_counts": q_kg_doc_triple_counts,
-        "facet_toc_pagesets": q_facet_toc_pagesets,
         "facet_toc_pages_topn": q_facet_toc_pages_topn,
         "news_feeds_topn": q_news_feeds_topn,
         "status_report": q_status_report,
@@ -1629,9 +1926,11 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "coin_uri_mint": q_coin_uri_mint,
         "entity_link": q_entity_link,
+        "entity_link_fuzzy": q_entity_link_fuzzy,
         "dependency_join": q_dependency_join,
         "skeleton_anti_join": q_skeleton_anti_join,
         "citations_rfc_regex": q_citations_rfc_regex,
+        "citations_eulaw": q_citations_eulaw,
         "facet_year_selector": q_facet_year_selector,
         "facet_title_sortkey": q_facet_title_sortkey,
         "fulltext_search_paging": q_fulltext_search_paging,
@@ -1658,8 +1957,11 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_join": q_events_asof_join,
         "events_rollup": q_events_rollup,
         # ---- sacrificial tail under the driver's 50-query cap: the
-        # streaming twin re-runs events_hourly's exact oracle, and the
-        # TPC-H anchors are not SURVEY §2 operators
+        # streaming twin re-runs events_hourly's exact oracle, A3
+        # pagesets are also covered by facet_year_selector +
+        # facet_toc_pages_topn, and the TPC-H anchors are not SURVEY §2
+        # operators
+        "facet_toc_pagesets": q_facet_toc_pagesets,
         "events_hourly_windows": q_events_hourly_windows,
         "tpch_q1_pricing": q_tpch_q1_pricing,
         "tpch_q3_shipping": q_tpch_q3_shipping,

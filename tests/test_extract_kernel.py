@@ -140,6 +140,39 @@ def test_citation_patterns():
         "http://example.org/x?q=1#f", "http://a.b/c"}
 
 
+def test_eulaw_grammar():
+    from ferenda_spark.operators.citations import (eulaw_celex_uri,
+                                                   find_eulaw_citations)
+    # article + legalact (MatchFirst priority: one combined span)
+    cs = find_eulaw_citations(
+        "Enligt artikel 42.1 i rådets direktiv 2006/112/EG av den "
+        "28 november 2006 skall mervärdesskatt betalas.")
+    assert len(cs) == 1 and cs[0]["form"] == "article_legalact"
+    c = cs[0]
+    assert (c["article"], c["subarticle"]) == ("42", "1")
+    assert (c["acttype"], c["year"], c["ordinal"], c["association"]) == \
+        ("direktiv", "2006", "112", "EG")
+    assert c["date"] == "28 november 2006"
+    assert eulaw_celex_uri(c) == \
+        "http://eur-lex.europa.eu/CELEX:32006L0112#A42.1"
+
+    # regulation form + the longer institution alternative
+    cs = find_eulaw_citations(
+        "Europaparlamentets och rådets förordning (EG) nr 45/2001 "
+        "av den 18 december 2000 gäller.")
+    assert len(cs) == 1 and cs[0]["form"] == "legalact"
+    c = cs[0]
+    assert (c["acttype"], c["association"], c["ordinal"], c["year"]) == \
+        ("förordning", "EG", "45", "2001")
+    assert c["span"].startswith("Europaparlamentets och rådets")
+    assert eulaw_celex_uri(c) == "http://eur-lex.europa.eu/CELEX:32001R0045"
+
+    # bare article; grammar-faithful: 'EU' association does NOT match
+    cs = find_eulaw_citations("se artikel 7 samt direktiv 2007/42/EU")
+    assert [c["form"] for c in cs] == ["article"]
+    assert cs[0]["article"] == "7" and cs[0]["subarticle"] is None
+
+
 def test_citation_rfc_grammar_quirks():
     # zero-stripping, bracket-compact, doc-relative and dots-only forms
     cs = find_citations(

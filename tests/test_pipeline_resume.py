@@ -164,6 +164,25 @@ def test_annotation_closure(triples):
     assert any(r.inbound_ref for r in rows)
 
 
+def test_lookup_labels_fuzzy(spark):
+    """Misspelled labels resolve through the levenshtein residual pass
+    (documentrepository.py:472-485 cutoff-0.8 semantics)."""
+    common = commondata_df(spark)
+    facts = spark.createDataFrame(
+        [("Network Working Group",),        # exact
+         ("Network Wrking Group",),         # 1 edit -> fuzzy hit
+         ("Netwrk Working Grup",),          # 2 edits -> still >= 0.8
+         ("Completely Different Thing",)],  # no match
+        "label string")
+    out = canonicalize.lookup_labels_fuzzy(facts, common)
+    got = {r.label: (r.ent_uri, r.match_kind) for r in out.collect()}
+    nwg = "http://localhost:8000/ext/network-working-group"
+    assert got["Network Working Group"] == (nwg, "exact")
+    assert got["Network Wrking Group"] == (nwg, "fuzzy")
+    assert got["Netwrk Working Grup"] == (nwg, "fuzzy")
+    assert got["Completely Different Thing"] == (None, None)
+
+
 def test_lookup_labels_and_salted_join(spark):
     common = commondata_df(spark)
     facts = spark.createDataFrame(

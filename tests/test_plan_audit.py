@@ -44,6 +44,34 @@ def test_lift_is_single_stage_codegen(spark):
     assert plans.wholestage_codegen_count(df) >= 1
 
 
+def test_atom_pages_no_global_row_window(spark):
+    """The global row-number is two-pass: per-day local ranks + a
+    broadcast prefix-sum join.  The only partitionless window runs over
+    one row per day, so the events table itself must never be windowed
+    unpartitioned (VERDICT r01 scale-killer)."""
+    df = Q.q_news_atom_pages(spark, SF)
+    assert plans.has_broadcast_hash_join(df)
+    # the event-level window is hash-partitioned by day
+    assert "hashpartitioning(day" in plans.explain_str(df)
+
+
+def test_ngram_blocking_is_capped(spark):
+    """Candidate generation must consume the capped block set (the
+    oversized-block filter exists in the plan as an aggregate+join on
+    block before the self-join)."""
+    df = Q.q_dedup_ngram_jaccard(spark, SF)
+    plan = plans.explain_str(df, mode="simple")
+    assert "LeftSemi" in plan  # ok_blocks semi join present
+
+
+def test_lsh_shuffles_hashed_shingles_not_strings(spark):
+    """The persisted shingle table carries (doc_id, h:long) — the string
+    shingle must not appear past the first projection."""
+    sh = Q._hashed_shingles_df(spark, SF)
+    assert dict(sh.dtypes)["h"] == "bigint"
+    assert "tok" not in sh.columns
+
+
 def test_fused_triples_single_scan(spark):
     """The fused emission must scan `extracted` once (plus zero joins
     when the dictionary compiles to a literal map)."""
