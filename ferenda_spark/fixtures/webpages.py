@@ -168,7 +168,8 @@ def _build_w3c(i: int, rng: random.Random):
     uri = canonical_uri(alias, basefile)
     title = f"{_words(rng, 2).title()} Specification Level {1 + i % 3}"
     editor = rng.choice(AUTHORS)
-    issued = f"201{i % 7}-1{i % 2}-0{1 + i % 9}"
+    day, month, year = 1 + i % 27, MONTHS[i % 12], 2010 + i % 8
+    issued = f"{year}-{MONTHS.index(month) + 1:02d}-{day:02d}"
     abstract = _words(rng, rng.randint(10, 30))
     s1 = _words(rng, rng.randint(10, 30))
     s11 = _words(rng, rng.randint(10, 20))
@@ -177,9 +178,9 @@ def _build_w3c(i: int, rng: random.Random):
 
     html = f"""<html lang="en"><head><title>{title}</title></head>
 <body>
-<div class="head"><p>W3C Recommendation {issued}</p>
+<div class="head"><h1>{title}</h1>
+<h2>W3C Recommendation {day} {month} {year}</h2>
 <dl><dt>Editor:</dt><dd>{editor}</dd></dl></div>
-<h1>{title}</h1>
 <h2>Abstract</h2>
 <p>{abstract}</p>
 <div class="toc"><ul><li>1 Introduction</li><li>2 Conformance</li></ul></div>
@@ -193,41 +194,43 @@ def _build_w3c(i: int, rng: random.Random):
     data = html.encode("utf-8")
 
     expected_text = " ".join([
-        _norm(title), "Abstract", _norm(abstract),
+        "Abstract", _norm(abstract),
         "1 Introduction", f"{_norm(s1)} See {cit_url} .",
         "1.1 Scope", _norm(s11),
         "2 Conformance", _norm(s2),
     ])
 
+    # reference-faithful metadata (validated against the reference's own
+    # w3c distilled goldens in tests/test_reference_parity.py):
+    # w3c:Recommendation type, hardcoded ext/w3c publisher, issued from
+    # the 'W3C Recommendation <date>' header, NO citation parser, and
+    # decorate_bodyparts sections carrying type/title/chapter only
     gen_by = "ferenda.sources.tech.w3c.W3Standards"
     triples = [
-        _t(uri, ns.RDF_TYPE, ns.BIBO_STANDARD, True),
+        _t(uri, ns.RDF_TYPE, ns.term("w3c", "Recommendation"), True),
         _t(uri, ns.DCT_TITLE, title, lang="en"),
         _t(uri, ns.DCT_IDENTIFIER, basefile),
+        _t(uri, ns.DCT_PUBLISHER, "http://localhost:8000/ext/w3c", True),
+        _t(uri, ns.DCT_ISSUED, issued, datatype=ns.XSD_DATE),
         _t(uri, ns.PROV_WASGENERATEDBY, gen_by),
     ]
-    # preamble + numbered sections (w3c.py:290-303 decorate_bodyparts;
-    # PS ordinals per FIXTURES.md §4)
-    for frag, stitle, chapter, parent in [
-        ("PS1", "Abstract", None, uri),
-        ("S1", "Introduction", "1", uri),
-        ("S1.1", "Scope", "1.1", uri + "#S1"),
-        ("S2", "Conformance", "2", uri),
+    for frag, stitle, chapter in [
+        ("PS1", "Abstract", None),
+        ("S1", "Introduction", "1"),
+        ("S1.1", "Scope", "1.1"),
+        ("S2", "Conformance", "2"),
     ]:
         s = f"{uri}#{frag}"
         triples += [
             _t(s, ns.RDF_TYPE, ns.BIBO_DOCUMENTPART, True),
             _t(s, ns.DCT_TITLE, stitle, lang="en"),
-            _t(s, ns.DCT_ISPARTOF, parent, True),
         ]
         if chapter:
             triples.append(_t(s, ns.BIBO_CHAPTER, chapter))
-    triples.append(_t(uri + "#S1", ns.DCT_REFERENCES, cit_url, True))
-    citations = [{"subj": uri + "#S1", "span": cit_url, "cited_uri": cit_url}]
     return data, "en", {
         "alias": alias, "basefile": basefile, "uri": uri, "title": title,
         "lang": "en", "text": expected_text, "triples": triples,
-        "citations": citations,
+        "citations": [],
     }
 
 

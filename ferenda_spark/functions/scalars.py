@@ -165,6 +165,40 @@ def base27_encode_py(n: int) -> str:
 
 
 # ---------------------------------------------------------------------------
+# dataset URIs (documentrepository.py:612-647 dataset_uri): the URI of
+# a docrepo's dataset, optionally subset by ?param=value and/or the
+# /feed[.atom] variant.
+
+def dataset_uri(base: str, alias_col: Column, param: str | None = None,
+                value_col: Column | None = None,
+                feed: bool | str = False) -> Column:
+    uri = F.concat(F.lit(base + "dataset/"), alias_col)
+    if feed:
+        suffix = "/feed" + (feed if isinstance(feed, str) else "")
+        uri = F.concat(uri, F.lit(suffix))
+    if param is not None and value_col is not None:
+        # url_encode is form-encoding (space -> '+'); rewrite to %20 to
+        # match urllib.parse.quote (the reference's encoder).  Values
+        # containing '/' encode as %2F here (quote's default keeps '/';
+        # the twins agree on everything else — documented difference)
+        enc = F.replace(F.url_encode(value_col), F.lit("+"), F.lit("%20"))
+        uri = F.concat(uri, F.lit(f"?{param}="), enc)
+    return uri
+
+
+def dataset_uri_py(base: str, alias: str, param: str | None = None,
+                   value: str | None = None,
+                   feed: bool | str = False) -> str:
+    from urllib.parse import quote
+    uri = f"{base}dataset/{alias}"
+    if feed:
+        uri += "/feed" + (feed if isinstance(feed, str) else "")
+    if param and value:
+        uri += f"?{param}={quote(value, safe='')}"
+    return uri
+
+
+# ---------------------------------------------------------------------------
 # facet selectors (facet.py:128-280)
 
 def year_of(col: Column) -> Column:

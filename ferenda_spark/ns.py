@@ -18,8 +18,10 @@ NS = {
     "bibo": "http://purl.org/ontology/bibo/",
     "schema": "http://schema.org/",
     "olo": "http://purl.org/ontology/olo/core#",
-    # the RFC vocab the reference mints ad hoc (rfc.py:96-99)
+    # the RFC/W3C vocabs the reference mints ad hoc (rfc.py:96-99,
+    # w3c.py:24,39-40)
     "rfc": "http://example.org/ontology/rfc/",
+    "w3c": "http://example.org/ontology/w3c/",
 }
 
 

@@ -112,6 +112,39 @@ def url_to_repo(url: str) -> tuple[str, str]:
     return "base", url.rsplit("/", 1)[-1] or url
 
 
+def _w3c_issued(raw) -> str | None:
+    """dcterms:issued for W3C specs: the h2/h3 'W3C Recommendation
+    <date>' header in the (unfiltered) tree, date parsed as
+    '%d %B %Y' / '%d %b %Y' -> ISO (w3c.py:225-249
+    parse_metadata_from_soup).  Returns None (no triple) when absent or
+    unparseable, like the reference's warning path."""
+    import datetime
+
+    def walk(node):
+        for c in node.children:
+            if isinstance(c, hp.Node):
+                if c.tag in ("h2", "h3"):
+                    yield c
+                yield from walk(c)
+
+    for h in walk(raw):
+        text = hp.as_plaintext(h)
+        if not re.search(r"W3C\s+Recommendation,?\s+", text):
+            continue
+        m = re.search(r"(\d+)[ \-](\w+),?[ \-](\d{4})", " ".join(text.split()))
+        if not m:
+            return None
+        datestr = " ".join(m.groups())
+        for fmt in ("%d %B %Y", "%d %b %Y"):
+            try:
+                return datetime.datetime.strptime(datestr, fmt) \
+                    .date().isoformat()
+            except ValueError:
+                continue
+        return None
+    return None
+
+
 def extract_one(url: str, html: bytes, with_blocks: bool = True) -> dict:
     """Per-document kernel.  Pure function; unit-testable without Spark.
 
@@ -167,6 +200,11 @@ def extract_one(url: str, html: bytes, with_blocks: bool = True) -> dict:
             if isinstance(c, hp.Node)
         ]
         sections = w3c_structure(chunks)
+        # issued comes from the UNFILTERED tree: the date header lives
+        # inside div.head, which the content selector drops (w3c.py:225)
+        if issued := _w3c_issued(raw):
+            meta = dict(meta)
+            meta["dcterms:issued"] = issued
 
     # citations: per-section text when structure exists, else whole doc;
     # the active grammar set is repo config, like the reference's

@@ -42,6 +42,18 @@ def rfc_paragraphs(text: str) -> list[str]:
     return [_BACKSPACE_RE.sub("", p) for p in paras if p.strip()]
 
 
+def text_lines(text: str) -> list[str]:
+    """TextReader readline iteration (textreader.py:148-157): every
+    linesep-delimited line, empty ones included."""
+    return text.replace("\r\n", "\n").split("\n")
+
+
+def text_pages(text: str) -> list[str]:
+    """TextReader readpage iteration (textreader.py:175-183): chunks
+    delimited by form feed — the page marker RFCs and pdftotext use."""
+    return text.replace("\r\n", "\n").split("\f")
+
+
 # ---------------------------------------------------------------------------
 # elements
 

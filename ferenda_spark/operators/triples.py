@@ -105,6 +105,8 @@ def doc_scalar_triples(extracted: DataFrame) -> DataFrame:
         _ts(F.col("doc_uri"), ns.BIBO_SHORTTITLE, short_title,
             lang=F.col("lang")),
         _ts(F.col("doc_uri"), ns.DCT_IDENTIFIER, identifier),
+        _ts(F.col("doc_uri"), ns.DCT_PUBLISHER, _static_publisher_col(),
+            True),
         _ts(F.col("doc_uri"), ns.PROV_WASGENERATEDBY, classname),
         _ts(F.col("doc_uri"), ns.DCT_ISSN, h["issn"]),
         _ts(F.col("doc_uri"), ns.DCT_ISSUED, h["issued"],
@@ -224,7 +226,7 @@ def section_triples(extracted: DataFrame) -> DataFrame:
         F.col("parent_ordinal").isNull(), F.col("doc_uri")
     ).otherwise(F.concat(F.col("doc_uri"), F.lit("#"),
                          _frag(F.col("parent_ordinal"))))
-    parent_obj = F.when(~(is_rfc & is_ps), parent)
+    parent_obj = F.when(is_rfc & ~is_ps, parent)
     chapter = F.when(~is_ps, F.col("ordinal"))
     chapter_lang = F.when(is_rfc, F.col("lang"))
     sec_ident = F.when(
@@ -306,6 +308,15 @@ def _identifier_col() -> Column:
     ).otherwise(F.col("basefile"))
 
 
+def _static_publisher_col() -> Column:
+    """Repos with a config-constant publisher (w3c.py:259 hardcodes
+    dcterms:publisher -> ext/w3c); null elsewhere (rfc publishers come
+    from the J1 label lookup instead)."""
+    pub = {a: r["publisher_uri"] for a, r in REPOS.items()
+           if "publisher_uri" in r}
+    return _alias_case(pub) if pub else F.lit(None).cast("string")
+
+
 def fused_scalar_triples(extracted: DataFrame,
                          extra_structs: list[Column] | None = None) -> DataFrame:
     """Branches 1+2+4+5+6 in ONE scan + ONE explode: every per-row
@@ -332,6 +343,7 @@ def fused_scalar_triples(extracted: DataFrame,
         _ts(doc, ns.DCT_TITLE, F.col("title"), lang=F.col("lang")),
         _ts(doc, ns.BIBO_SHORTTITLE, short_title, lang=F.col("lang")),
         _ts(doc, ns.DCT_IDENTIFIER, identifier),
+        _ts(doc, ns.DCT_PUBLISHER, _static_publisher_col(), True),
         _ts(doc, ns.PROV_WASGENERATEDBY, classname),
         _ts(doc, ns.DCT_ISSN, h["issn"]),
         _ts(doc, ns.DCT_ISSUED, h["issued"], datatype=ns.XSD_GYEARMONTH),
@@ -377,7 +389,10 @@ def fused_scalar_triples(extracted: DataFrame,
             is_rfc & ~is_ps,
             F.concat(F.lit("RFC "), F.col("basefile"),
                      F.lit(", section "), s["ordinal"]))
-        parent_obj = F.when(~(is_rfc & is_ps), parent)
+        # isPartOf: only rfc numbered sections carry it — the w3c
+        # decorate_bodyparts emits type/title/chapter only (w3c.py:290-303
+        # + both repos' distilled goldens)
+        parent_obj = F.when(is_rfc & ~is_ps, parent)
         return F.array(
             _ts(subj, ns.RDF_TYPE, ns.BIBO_DOCUMENTPART, True),
             _ts(subj, ns.DCT_TITLE, s["title"], lang=F.col("lang")),

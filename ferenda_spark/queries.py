@@ -955,13 +955,16 @@ def q_validation_quarantine(spark, sf_dir):
 
 
 def q_uri_roundtrip(spark, sf_dir):
-    """C8 canonical_uri + inverse basefile_from_uri
+    """C8 canonical_uri + inverse basefile_from_uri + DATASET URIs
     (documentrepository.py:598-674): mint, then recover (alias,
-    basefile) from the URI by regex — must round-trip exactly."""
+    basefile) from the URI by regex — must round-trip exactly; dataset
+    URIs cover the plain / ?param=value / feed.atom variants
+    (dataset_uri, documentrepository.py:612-647)."""
+    from ferenda_spark.functions.scalars import dataset_uri
     d = _read(spark, sf_dir, "documents")
     uri = F.concat(F.lit(BASE + "res/"), "source", F.lit("/"),
                    F.col("doc_id").cast("string"))
-    t = d.select("doc_id", "source", uri.alias("uri"))
+    t = d.select("doc_id", "source", "lang", uri.alias("uri"))
     alias_back = F.regexp_extract("uri", r"/res/([^/]+)/", 1)
     basefile_back = F.regexp_extract("uri", r"/res/[^/]+/(.+)$", 1)
     return t.select(
@@ -969,7 +972,12 @@ def q_uri_roundtrip(spark, sf_dir):
         basefile_back.alias("basefile"),
         ((alias_back == F.col("source"))
          & (basefile_back == F.col("doc_id").cast("string")))
-        .alias("roundtrip_ok"))
+        .alias("roundtrip_ok"),
+        dataset_uri(BASE, F.col("source")).alias("dataset_uri"),
+        dataset_uri(BASE, F.col("source"), "lang", F.col("lang"))
+        .alias("dataset_param_uri"),
+        dataset_uri(BASE, F.col("source"), "lang", F.col("lang"),
+                    feed=".atom").alias("dataset_feed_uri"))
 
 
 def q_composite_first_success(spark, sf_dir):
@@ -1027,14 +1035,28 @@ def q_news_atom_pages(spark, sf_dir):
               .rowsBetween(Window.unboundedPreceding, -1))
     offsets = counts.withColumn(
         "off", F.coalesce(F.sum("cnt").over(w_days), F.lit(0)))
+    entry_xml = F.concat(
+        F.lit("<entry><id>urn:event:"), F.col("event_id").cast("string"),
+        F.lit("</id><updated>"),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"),
+        F.lit("Z</updated></entry>"))
     return (local.join(F.broadcast(offsets.select("day", "off")), "day")
             .withColumn("rn", (F.col("lrn") + F.col("off")).cast("long"))
             .withColumn("page", ((F.col("rn") - 1) / F.lit(100))
                         .cast("long"))
+            .withColumn("entry", entry_xml)
             .groupBy("page")
             .agg(F.count("*").cast("long").alias("n"),
                  F.min("rn").cast("long").alias("first_rn"),
-                 F.max("rn").cast("long").alias("last_rn")))
+                 F.max("rn").cast("long").alias("last_rn"),
+                 # the actual per-page atom entry payload, rn-ordered
+                 # (news_write_atom, documentrepository.py:3233+); the
+                 # page body is md5'd so the oracle can value-compare it
+                 F.md5(F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.struct("rn", F.col("entry").alias("xml")))),
+                         lambda s: s["xml"]), "")).alias("entries_md5")))
 
 
 def q_events_sessionize(spark, sf_dir):
@@ -1842,7 +1864,7 @@ FROM dc GROUP BY subj
 
 ORACLE["uri_roundtrip"] = f"""
 WITH t AS (
-  SELECT doc_id, source,
+  SELECT doc_id, source, lang,
          '{BASE}res/' || source || '/' || doc_id::VARCHAR AS uri
   FROM documents)
 SELECT doc_id, uri,
@@ -1850,7 +1872,11 @@ SELECT doc_id, uri,
        regexp_extract(uri, '/res/[^/]+/(.+)$', 1) AS basefile,
        (regexp_extract(uri, '/res/([^/]+)/', 1) = source AND
         regexp_extract(uri, '/res/[^/]+/(.+)$', 1) = doc_id::VARCHAR)
-         AS roundtrip_ok
+         AS roundtrip_ok,
+       '{BASE}dataset/' || source AS dataset_uri,
+       '{BASE}dataset/' || source || '?lang=' || lang AS dataset_param_uri,
+       '{BASE}dataset/' || source || '/feed.atom?lang=' || lang
+         AS dataset_feed_uri
 FROM t
 """
 
@@ -1879,7 +1905,12 @@ WITH r AS (
          row_number() OVER (ORDER BY ts DESC, event_id ASC)::BIGINT AS rn
   FROM events)
 SELECT (rn - 1) // 100 AS page, count(*)::BIGINT AS n,
-       min(rn)::BIGINT AS first_rn, max(rn)::BIGINT AS last_rn
+       min(rn)::BIGINT AS first_rn, max(rn)::BIGINT AS last_rn,
+       md5(string_agg('<entry><id>urn:event:' || event_id::VARCHAR ||
+                      '</id><updated>' ||
+                      strftime(ts, '%Y-%m-%dT%H:%M:%S') ||
+                      'Z</updated></entry>', '' ORDER BY rn))
+         AS entries_md5
 FROM r GROUP BY 1
 """
 

@@ -19,7 +19,7 @@ REPOS = {
         "citation_grammars": ("url",),
     },
     "w3c": {
-        "rdf_type": ns.BIBO_STANDARD,
+        "rdf_type": ns.term("w3c", "Recommendation"),   # w3c.py:24
         # qualified_class_name() -> module path + class (w3c.py)
         "classname": "ferenda.sources.tech.w3c.W3Standards",
         "content_selector": "body",
@@ -27,7 +27,12 @@ REPOS = {
         "filter_selectors": ("script", "div.toc", "div.head"),
         "structure": "w3c",
         "lang": "en",
-        "citation_grammars": ("url",),
+        # the reference's W3Standards runs NO citation parser (its parse
+        # flow never configures one) — validated by the distilled
+        # goldens carrying no dcterms:references
+        "citation_grammars": (),
+        # parse_metadata_from_soup hardcodes the publisher (w3c.py:259)
+        "publisher_uri": "http://localhost:8000/ext/w3c",
     },
     "rfc": {
         # default when no BCP/STD/FYI header key overrides (rfc.py:494-497)

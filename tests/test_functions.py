@@ -2,6 +2,41 @@
 Python twins (SURVEY.md §2 A5 + §2.6)."""
 
 import pytest
+
+
+def test_dataset_uri_matches_reference_doctest(spark):
+    """documentrepository.py:612-647 doctest cases, columnar + twin."""
+    from pyspark.sql import functions as F
+
+    from ferenda_spark.functions.scalars import dataset_uri, dataset_uri_py
+    base = "http://example.org/"
+    cases = [
+        (dict(), "http://example.org/dataset/base"),
+        (dict(param="title", value="a"),
+         "http://example.org/dataset/base?title=a"),
+        (dict(feed=True), "http://example.org/dataset/base/feed"),
+        (dict(param="title", value="a", feed=True),
+         "http://example.org/dataset/base/feed?title=a"),
+        (dict(param="title", value="a", feed=".atom"),
+         "http://example.org/dataset/base/feed.atom?title=a"),
+    ]
+    df = spark.createDataFrame([("base", "a")], "alias string, val string")
+    for kw, want in cases:
+        assert dataset_uri_py(base, "base", **kw) == want
+        col_kw = dict(kw)
+        if "value" in col_kw:
+            col_kw["value_col"] = F.col("val")
+            del col_kw["value"]
+        got = df.select(dataset_uri(base, F.col("alias"),
+                                    **col_kw).alias("u")).first().u
+        assert got == want
+
+
+def test_text_lines_and_pages():
+    from ferenda_spark.operators.rfc_parse import text_lines, text_pages
+    t = "a\nb\n\fc\nd\f"
+    assert text_lines(t) == ["a", "b", "\fc", "d\f"]
+    assert text_pages(t) == ["a\nb\n", "c\nd", ""]
 from pyspark.sql import functions as F
 
 from ferenda_spark import functions as FN

@@ -83,6 +83,51 @@ def test_rfc_distill_parity(engine_triples, bf):
         f"recall {recall:.3f}; missing: {sorted(want - got)[:6]}")
 
 
+W3C = "/root/reference/test/files/repo/w3c"
+W3C_BASEFILES = sorted(
+    f[:-4] for f in os.listdir(f"{W3C}/distilled") if f.endswith(".ttl")
+) if os.path.isdir(W3C) else []
+
+
+@pytest.fixture(scope="module")
+def w3c_triples(spark):
+    from ferenda_spark.operators.extract import extract
+    from ferenda_spark.operators.triples import all_triples
+
+    rows = []
+    for bf in W3C_BASEFILES:
+        page = open(f"{W3C}/downloaded/{bf}.html", "rb").read()
+        rows.append((f"http://localhost:8000/res/w3c/{bf}", None, page,
+                     None, None))
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, "
+              "text string, lang string")
+    cd = spark.createDataFrame([], "uri string, label string, pred string")
+    return all_triples(extract(pages), cd).collect()
+
+
+@pytest.mark.parametrize("bf", W3C_BASEFILES)
+def test_w3c_distill_parity(w3c_triples, bf):
+    """The committed W3C spec fixtures (raw html, incl. an iso-8859-1
+    one) through the full extract -> lift path vs their distilled
+    goldens (w3c.py parse_metadata_from_soup + decorate_bodyparts)."""
+    from ferenda_spark.turtle import parse_turtle
+
+    uri = f"http://localhost:8000/res/w3c/{bf}"
+    got = {_key(r.asDict()) for r in w3c_triples
+           if r.url == uri or r.subj.startswith(uri)}
+    want = {_key(t) for t in parse_turtle(
+        open(f"{W3C}/distilled/{bf}.ttl").read())}
+    assert len(want) > 10
+    tp = len(got & want)
+    precision = tp / max(len(got), 1)
+    recall = tp / max(len(want), 1)
+    assert precision >= 0.95, (
+        f"precision {precision:.3f}; extra: {sorted(got - want)[:8]}")
+    assert recall >= 0.95, (
+        f"recall {recall:.3f}; missing: {sorted(want - got)[:8]}")
+
+
 def _parse_result(path: str):
     """.result file -> list of str fragments and url-part dicts."""
     nodes: list = []
