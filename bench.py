@@ -39,8 +39,8 @@ KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "600000"))
 # columns the triples stage needs — persisting the full extract output
 # (text + blocks) doubles cache size and GC pressure for nothing
 _TRIPLES_COLS = ["url", "alias", "basefile", "doc_uri", "lang", "title",
-                 "head_meta", "rfc_header", "sections", "citations",
-                 "parse_ok"]
+                 "short_title", "head_meta", "rfc_header", "sections",
+                 "citations", "parse_ok"]
 
 BENCH_QUERIES = [
     "kg_triples_lift",

@@ -126,6 +126,19 @@ def is_preformatted_chunk(chunk: str) -> bool:
 # the parser instance (transition table = rfc.py:399-424 verbatim)
 
 def rfc_parser(basefile: str) -> FSMParser:
+    # several recognizers probe the same peeked chunk per FSM step;
+    # memoize the section analysis per chunk identity (hot path: the
+    # recognizer chain runs for every paragraph of every document)
+    _seg_cache: dict[int, int] = {}
+
+    def _segs(chunk: str) -> int:
+        key = id(chunk)
+        if key not in _seg_cache:
+            _seg_cache.clear()  # only the current chunk matters
+            _seg_cache[key] = _seg_count(
+                analyze_sectionstart(chunk, basefile)[0])
+        return _seg_cache[key]
+
     def is_pagebreak(p):
         return "\f" in p.reader.peek()
 
@@ -136,16 +149,13 @@ def rfc_parser(basefile: str) -> FSMParser:
         return True
 
     def is_section(p):
-        return _seg_count(
-            analyze_sectionstart(p.reader.peek(), basefile)[0]) == 1
+        return _segs(p.reader.peek()) == 1
 
     def is_subsection(p):
-        return _seg_count(
-            analyze_sectionstart(p.reader.peek(), basefile)[0]) == 2
+        return _segs(p.reader.peek()) == 2
 
     def is_subsubsection(p):
-        return _seg_count(
-            analyze_sectionstart(p.reader.peek(), basefile)[0]) == 3
+        return _segs(p.reader.peek()) == 3
 
     def is_header(p):
         return is_header_chunk(p.reader.peek())

@@ -747,8 +747,10 @@ def q_ann_ivf_topk(spark, sf_dir):
     """IVF-style ANN (scale path): vectors are assigned to the nearest of
     4 fixed centroids (coarse quantizer), and each query searches only
     its own cluster — probing 1/K of the corpus instead of all of it.
-    Centroids here are vec_id 0..3 (deterministic stand-ins for k-means
-    output, which would be refreshed offline at scale)."""
+    Centroids here are vec_id 0..3 — deterministic stand-ins so the
+    DuckDB oracle can reproduce the assignment bit-for-bit; the actual
+    refresh job is operators/kmeans.py (distributed Lloyd iterations,
+    one shuffle each, unit-gated on monotone inertia)."""
     e = _vec(spark, sf_dir)
     cent = e.where("vec_id < 4").select(F.col("vec_id").alias("cent_id"),
                                         F.col("v").alias("cv"))
