@@ -1,0 +1,343 @@
+"""Swedish legal-reference (SFS "lagrum") recognizer — the C6 operator
+(SURVEY.md §2), a from-scratch re-expression of the reference's
+EBNF-driven LegalRef parser for the LAGRUM class
+(/root/reference/ferenda/sources/legal/se/legalref.py + its EBNF),
+validated against the reference's OWN committed goldens
+(/root/reference/test/files/legalref/SFS/sfs-basic-*.txt; see
+tests/test_reference_parity.py — link-URI sequences reproduced exactly).
+
+Recognized constructs (URI fragments in the lagen.nu space):
+
+  kapitel         '2 kap.' / '1 a kap.'            -> #K2 / #K1a
+  paragraf        '3 §' / '4 a §'                  -> #P3 / #P4a
+  enumerations    '22, 23 och 26 §§'               -> one link per item
+  intervals       '8-10 §§' / '26 d - 26 f §§'     -> endpoint links
+  stycke          'andra stycket' / '2 st.'        -> S2
+  punkt           'andra punkten' / 'stycket 2'    -> N2 (implied S1
+                                                      directly after §)
+  mening          'första meningen'                -> M1
+  law binding     '... alkohollagen (1994:1738)'   -> backward base bind
+  generic law     'lagen (1998:674) om ...'        -> year link + bind
+  samma lag       '12 kap. 10 § samma lag'         -> rebind to last law
+
+Merge semantics mirror the reference grammar's observable output:
+- a kapitel merges into a SINGLE following paragraph ('6 kap. 3 §' is
+  one link #K6P3); with an enumeration it links alone first
+  ('4 kap. 19 och 20 §§' -> #K4, #K4P19, #K4P20);
+- a single adjacent sub-level merges into the previous link
+  ('3 § fjärde stycket 2' -> #P3S4N2), enumerations/dash-ranges and
+  connector-separated items become separate links;
+- a NAMED law merges into a single preceding reference
+  ('18 kap. 9 § handelsbalken (1736:0123 s. 2)' is one link), a
+  generic 'lagen (NNNN:NN)' always links its year separately.
+
+Per-document kernel (runs like find_citations inside the Arrow-batched
+extract stage); emits (span, uri) rows in textual order.  Unresolved
+local references use the caller's base law (the reference's test
+default 9999:999).
+"""
+
+from __future__ import annotations
+
+import re
+
+_ORD = {"första": 1, "andra": 2, "tredje": 3, "fjärde": 4, "femte": 5,
+        "sjätte": 6, "sjunde": 7, "åttonde": 8, "nionde": 9, "tionde": 10}
+_ORD_RE = "|".join(_ORD)
+
+# a number with optional single-letter suffix ('4 a', '26 i') — the
+# suffix must be followed by legal-grammar context, not a word ('2 i
+# denna' is the preposition 'i')
+_NUM = (r"\d+(?:\ ?[a-z](?=\s*(?:§|[Kk]ap\b|st\.|,|\)|[-–]|$)"
+        r"|\s+(?:och|samt|eller)\b))?")
+
+_TOKEN_RE = re.compile(
+    rf"""(?P<samma>samma\ lag)
+      | (?P<lawname>[a-zåäö]+(?:lagen|balken|kungörelsen|förordningen)
+            |[Ll]agen|[Kk]ungörelsen|[Ff]örordningen)
+        \s*\(\s*(?P<sfsnr>\d{{4}}:\w+(?:\s+s\.\s*\d+)?)\s*\)
+      | (?P<kap>(?P<kapnum>{_NUM})\ [Kk]ap\.?)
+      | (?P<st_num>(?P<stnum>\d+)\ st\.)
+      | (?P<styord>(?P<osty>{_ORD_RE})\s+(?:styckena|stycket))
+      | (?P<punktord>(?P<opunkt>{_ORD_RE})\s+punkten)
+      | (?P<menord>(?P<omen>{_ORD_RE})\s+meningen)
+      | (?P<ordalone>{_ORD_RE})
+        (?=\s+och\s+(?:{_ORD_RE})\s+(?:styckena|stycket))
+      | (?P<mark>§§|§)
+      | (?P<num>{_NUM})
+      | (?P<conn>,|\boch\b|\bsamt\b|\beller\b|\bi\b|[-–])
+    """,
+    re.VERBOSE,
+)
+
+_GENERIC_LAW = {"lagen", "kungörelsen", "förordningen"}
+
+
+def _nf(n: str) -> str:
+    return n.replace(" ", "")
+
+
+class _Parser:
+    def __init__(self, text: str, start: int, default_base: str):
+        self.text = text
+        self.pos = start
+        self.default_base = default_base
+        self.links: list[dict] = []     # {frag, start, end}
+        self.base: str | None = None
+        self.law_generic = False
+        self.law_span: tuple | None = None
+        self.kap: str | None = None
+        self.kap_tok: tuple | None = None   # unemitted lone-kap candidate
+        self.para: str | None = None
+        self.stycke: str | None = None      # explicit stycke
+        self.punktable = False              # just after § / stycke element
+        self.explicit_sty = False
+        self.pending: list[tuple] = []      # (num, start, end, sep)
+        self.progressed = False
+
+    # ------------------------------------------------------------------
+    def _prefix(self, with_stycke: bool, implied_s1: bool = False) -> str:
+        out = ""
+        if self.kap is not None:
+            out += f"K{_nf(self.kap)}"
+        if self.para is not None:
+            out += f"P{_nf(self.para)}"
+        if with_stycke:
+            if self.stycke is not None:
+                out += f"S{self.stycke}"
+            elif implied_s1 and self.para is not None:
+                out += "S1"
+        return out
+
+    def _add(self, frag: str, s: int, e: int):
+        self.links.append({"frag": frag, "start": s, "end": e})
+
+    def _merge(self, suffix: str, e: int):
+        if self.links:
+            self.links[-1]["frag"] += suffix
+            self.links[-1]["end"] = e
+
+    # ------------------------------------------------------------------
+    def _resolve_pending_punkt(self, items: list[tuple]):
+        """Punkt-context numbers -> N links (merge rules in module doc)."""
+        if not items:
+            return
+        first_adjacent = items[0][3] == ""
+        dash_after_first = len(items) > 1 and items[1][3] in ("-", "–")
+        if self.explicit_sty:
+            merge_first = first_adjacent and not dash_after_first
+        else:  # implied S1 directly after §
+            merge_first = first_adjacent and len(items) == 1
+        implied = (not self.explicit_sty and self.stycke is None
+                   and self.para is not None)
+        for i, (nv, s, e, sep) in enumerate(items):
+            if i == 0 and merge_first and self.links:
+                self._merge(("S1" if implied else "") + f"N{_nf(nv)}", e)
+            else:
+                self._add(self._prefix(True, implied_s1=True)
+                          + f"N{_nf(nv)}", s, e)
+
+    def _flush_paras(self, mark_end: int):
+        """§-mark: pending numbers become paragraphs (punkt-context
+        leading items become punkts of the previous group)."""
+        items = self.pending
+        self.pending = []
+        if not items:
+            return
+        if self.punktable and items[0][3] in ("", "och"):
+            # leading items were punkts of the previous paragraph
+            self._resolve_pending_punkt(items[:-1])
+            items = items[-1:]
+        # lone kapitel link when the paragraph set is an enumeration
+        if self.kap_tok is not None:
+            if len(items) > 1:
+                ks, ke = self.kap_tok
+                self._add(f"K{_nf(self.kap)}", ks, ke)
+            self.kap_tok = None
+        for i, (nv, s, e, sep) in enumerate(items):
+            self.para = nv
+            self.stycke = None
+            self.explicit_sty = False
+            e2 = mark_end if i == len(items) - 1 else e
+            self._add(self._prefix(False), s, e2)
+        self.punktable = True
+
+    def _resolve_pending_end(self):
+        """Non-mark resolution: punkt-context -> punkt links; plain
+        enumerations without a § marker are not references."""
+        items = self.pending
+        self.pending = []
+        if not items:
+            return
+        if self.punktable and items[0][3] in ("", "och"):
+            self._resolve_pending_punkt(items)
+
+    # ------------------------------------------------------------------
+    def parse(self) -> int:
+        """Consume one expression; returns end position."""
+        text, n = self.text, len(self.text)
+        cursor = self.pos
+        last_end = self.pos
+        last_sep = ""          # last connector seen since the previous num
+        while cursor < n:
+            ws = 0
+            while cursor + ws < n and text[cursor + ws].isspace():
+                ws += 1
+            t = _TOKEN_RE.match(text, cursor + ws)
+            if not t:
+                break
+            start, end = t.start(), t.end()
+            if t.group("samma") or t.group("lawname"):
+                self._resolve_pending_end()
+                if t.group("samma"):
+                    if self.cur_law_cb() is None:
+                        break
+                    self.base = self.cur_law_cb()
+                    self.law_generic = False
+                    self.law_span = (start, end)
+                else:
+                    sfsnr = re.sub(r"\s+", " ", t.group("sfsnr"))
+                    self.base = sfsnr
+                    self.law_generic = (t.group("lawname").lower()
+                                        in _GENERIC_LAW)
+                    self.set_law_cb(sfsnr)
+                    if self.law_generic:
+                        off = t.group(0).index(t.group("sfsnr"))
+                        self.law_span = (start + off,
+                                         start + off + len(t.group("sfsnr")))
+                    else:
+                        self.law_span = (start, end)
+                self.progressed = True
+                cursor = end
+                break          # a law mention ends the expression
+            elif t.group("kap"):
+                self._resolve_pending_end()
+                if self.kap_tok is not None:   # previous lone kapitel
+                    ks, ke = self.kap_tok
+                    self._add(f"K{_nf(self.kap)}", ks, ke)
+                self.kap = t.group("kapnum")
+                self.kap_tok = (start, end)
+                self.para = None
+                self.stycke = None
+                self.explicit_sty = False
+                self.punktable = False
+                self.progressed = True
+            elif t.group("mark"):
+                self._flush_paras(end)
+                self.progressed = True
+            elif t.group("st_num"):
+                self._resolve_pending_end()
+                self.stycke = t.group("stnum")
+                self.explicit_sty = True
+                self._merge(f"S{t.group('stnum')}", end)
+                self.punktable = True
+                self.progressed = True
+            elif t.group("styord"):
+                self._resolve_pending_end()
+                o = _ORD[t.group("osty")]
+                if self.explicit_sty:
+                    # enumerated further stycke: separate link
+                    self.stycke = str(o)
+                    self._add(self._prefix(False) + f"S{o}", start, end)
+                elif self.links and self.para is not None:
+                    self.stycke = str(o)
+                    self._merge(f"S{o}", end)
+                else:   # bare stycke reference
+                    self.stycke = str(o)
+                    self._add(f"S{o}", start, end)
+                self.explicit_sty = True
+                self.punktable = True
+                self.progressed = True
+            elif t.group("ordalone"):
+                # first ordinal of 'första och andra styckena'
+                self._resolve_pending_end()
+                o = _ORD[t.group("ordalone")]
+                if self.explicit_sty:
+                    self.stycke = str(o)
+                    self._add(self._prefix(False) + f"S{o}", start, end)
+                elif self.links and self.para is not None:
+                    self.stycke = str(o)
+                    self._merge(f"S{o}", end)
+                else:
+                    self.stycke = str(o)
+                    self._add(f"S{o}", start, end)
+                self.explicit_sty = True
+                self.punktable = True
+                self.progressed = True
+            elif t.group("punktord"):
+                self._resolve_pending_end()
+                self._merge(f"N{_ORD[t.group('opunkt')]}", end)
+                self.progressed = True
+            elif t.group("menord"):
+                self._resolve_pending_end()
+                self._merge(f"M{_ORD[t.group('omen')]}", end)
+                self.progressed = True
+            elif t.group("num"):
+                self.pending.append((t.group("num"), start, end, last_sep))
+                last_sep = ""
+            elif t.group("conn"):
+                last_sep = t.group("conn")
+            else:
+                break
+            last_end = end
+            cursor = end
+        self._resolve_pending_end()
+        if self.kap_tok is not None:    # lone kapitel reference
+            ks, ke = self.kap_tok
+            self._add(f"K{_nf(self.kap)}", ks, ke)
+            self.kap_tok = None
+            self.progressed = True
+        return cursor
+
+    # ------------------------------------------------------------------
+    def emit(self, base_url: str) -> list[dict]:
+        if not (self.links or self.base):
+            return []
+        base = self.base or self.default_base
+        base_uri = base_url + base.replace(" ", "_")
+        named_merge = (self.base is not None and not self.law_generic
+                       and len(self.links) == 1 and self.law_span)
+        out = []
+        for li in self.links:
+            end = li["end"]
+            if named_merge:
+                end = max(end, self.law_span[1])
+            out.append({"span": self.text[li["start"]:end],
+                        "uri": f"{base_uri}#{li['frag']}"})
+        if self.base is not None and self.law_span and not named_merge:
+            s, e = self.law_span
+            out.append({"span": self.text[s:e], "uri": base_uri})
+            # keep textual order: the law mention follows the refs
+        return out
+
+
+_START_RE = re.compile(
+    rf"\d|(?:{_ORD_RE})\s+(?:styckena|stycket|punkten|meningen)"
+    rf"|[a-zåäö]*(?:lagen|balken|kungörelsen|förordningen)\s*\(")
+
+
+def find_sfs_refs(text: str, base_law: str = "9999:999",
+                  base_url: str = "https://lagen.nu/") -> list[dict]:
+    """All SFS legal references as {span, uri} dicts, textual order."""
+    out: list[dict] = []
+    cur_law: list[str | None] = [None]
+    pos = 0
+    n = len(text)
+    while pos < n:
+        m = _START_RE.search(text, pos)
+        if not m:
+            break
+        p = _Parser(text, m.start(), base_law)
+        p.cur_law_cb = lambda: cur_law[0]
+
+        def _set_law(v, _cl=cur_law):
+            _cl[0] = v
+        p.set_law_cb = _set_law
+        endpos = p.parse()
+        links = p.emit(base_url) if p.progressed else []
+        if links:
+            out.extend(links)
+            pos = max(endpos, m.start() + 1)
+        else:
+            pos = m.start() + 1
+    return out

@@ -817,8 +817,11 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
            "slice(ts, 1, size(ts)-2), slice(ts, 2, size(ts)-2), "
            "(a, b) -> concat(a, ' ', b)), slice(ts, 3, size(ts)-2), "
            "(ab, c) -> concat(ab, ' ', c)))")
+    # trigrams hashed to LONG before persist/shuffle (same ~10x byte
+    # cut as the LSH shingle table)
     g = (t.withColumn("tri", F.expr(tri))
          .select("doc_id", "block", F.explode("tri").alias("tok"))
+         .select("doc_id", "block", _h(F.col("tok")).alias("h"))
          .persist())  # feeds both sides of the intersection join
     sizes = g.groupBy("doc_id").agg(F.count("*").alias("n"))
     tt = t.select("doc_id", "block").persist()  # slim blocking keys
@@ -831,7 +834,7 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
                     F.col("b.doc_id").alias("doc_b")))
     inter = (cand.join(g.alias("x"), F.col("x.doc_id") == F.col("doc_a"))
              .join(g.alias("y"), (F.col("y.doc_id") == F.col("doc_b"))
-                   & (F.col("x.tok") == F.col("y.tok")))
+                   & (F.col("x.h") == F.col("y.h")))
              .groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter")))
     return (cand.join(inter, ["doc_a", "doc_b"], "left")
             .na.fill({"inter": 0})
@@ -1662,9 +1665,10 @@ WITH t AS (
 tt AS (
   SELECT doc_id, ts, ts[1] || ' ' || ts[2] AS block
   FROM t WHERE len(ts) >= 3),
-g AS (
+g0 AS (
   SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS tok
   FROM tt, unnest(range(1, len(ts) - 1)) AS u(i)),
+g AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM g0),
 sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
 ok_blocks AS (
   SELECT block FROM tt GROUP BY block
@@ -1676,7 +1680,7 @@ cand AS (
 inter AS (
   SELECT c.doc_a, c.doc_b, count(*) AS inter
   FROM cand c JOIN g x ON x.doc_id = c.doc_a
-  JOIN g y ON y.doc_id = c.doc_b AND y.tok = x.tok
+  JOIN g y ON y.doc_id = c.doc_b AND y.h = x.h
   GROUP BY 1, 2)
 SELECT c.doc_a, c.doc_b,
        round(coalesce(i.inter, 0) * 1.0

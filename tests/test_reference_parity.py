@@ -128,6 +128,64 @@ def test_w3c_distill_parity(w3c_triples, bf):
         f"recall {recall:.3f}; missing: {sorted(want - got)[:8]}")
 
 
+SFS_DIR = "/root/reference/test/files/legalref/SFS"
+
+# every committed golden file the C6 recognizer reproduces EXACTLY
+# (link-URI sequences).  The remaining files need the named-law
+# dictionary / förarbeten / EU-ref grammars — documented out of scope.
+SFS_FILES = sorted(
+    f for f in (os.listdir(SFS_DIR) if os.path.isdir(SFS_DIR) else [])
+    if f.startswith("sfs-basic-")
+) + [
+    "sfs-bemyndigande-elsakfs.txt", "sfs-degenerate.txt",
+    "sfs-multiple-item-refs.txt", "sfs-old-kungorelse.txt",
+    "sfs-regression-err1.txt", "sfs-regression-err2.txt",
+    "sfs-regression-i18n.txt",
+    "sfs-regression-kapitel-individuella-paragrafer.txt",
+    "sfs-regression-kapitel-paragraf-punkt.txt",
+    "sfs-regression-lag-kapitel-paragrafer.txt",
+    "sfs-regression-med-och-utan-kapitel.txt",
+    "sfs-regression-verdict-2000-1366.txt",
+    "sfs-regression-verdict-2004-1853.txt",
+    "sfs-regression-whitespace-2.txt", "sfs-regression-whitespace.txt",
+    "sfs-tricky-1982-713-5.txt", "sfs-tricky-i18n.txt",
+    "sfs-tricky-komma-och.txt", "sfs-tricky-nbsp.txt",
+    "sfs-tricky-paragrafer-bokstaver.txt",
+]
+
+
+def _load_sfs_golden(name: str):
+    """-> [(input_text, [expected_uri, ...]), ...] sections."""
+    raw = open(f"{SFS_DIR}/{name}", encoding="iso-8859-1").read()
+    sections = re.split(r"\n---\n", raw)
+    inputs, lists = [], []
+    for sec in sections:
+        if "<list>" in sec:
+            head, _, rest = sec.partition("<list>")
+            if head.strip():
+                inputs.append(head)
+            lists.append(rest)
+        else:
+            inputs.append(sec)
+    uris = [re.findall(r'<Link uri="([^"]+)"', ls) for ls in lists]
+    texts = [t.strip("\n") for t in inputs if t.strip()]
+    return list(zip(texts, uris))
+
+
+@pytest.mark.parametrize("name", SFS_FILES)
+def test_sfs_legalref_parity(name):
+    """C6: the SFS lagrum recognizer reproduces the reference's own
+    committed LegalRef goldens — exact link-URI sequences — for 45 of
+    the 83 SFS files (all 25 basic + 20 regression/tricky)."""
+    from ferenda_spark.operators.sfs import find_sfs_refs
+
+    cases = _load_sfs_golden(name)
+    assert cases, "golden file yielded no test sections"
+    for text, want in cases:
+        got = [r["uri"] for r in find_sfs_refs(text)]
+        assert got == want, f"{name}: {got} != {want}"
+
+
 def _parse_result(path: str):
     """.result file -> list of str fragments and url-part dicts."""
     nodes: list = []
