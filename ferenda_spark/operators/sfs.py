@@ -48,24 +48,38 @@ _ORD_RE = "|".join(_ORD)
 # a number with optional single-letter suffix ('4 a', '26 i') — the
 # suffix must be followed by legal-grammar context, not a word ('2 i
 # denna' is the preposition 'i')
-_NUM = (r"\d+(?:\ ?[a-z](?=\s*(?:§|[Kk]ap\b|st\.|,|\)|[-–]|$)"
-        r"|\s+(?:och|samt|eller)\b))?")
+_NUM = (r"\d+(?:\s?(?:[a-hj-z](?![a-zåäö])"
+        r"|i(?=\s*(?:§|[Kk]ap\b|st\.|,|\)|[-–]|$)"
+        r"|\s+(?:och|samt|eller)\b)))?")
 
 _TOKEN_RE = re.compile(
-    rf"""(?P<samma>samma\ lag)
-      | (?P<lawname>[a-zåäö]+(?:lagen|balken|kungörelsen|förordningen)
-            |[Ll]agen|[Kk]ungörelsen|[Ff]örordningen)
+    rf"""(?P<samma>samma\ (?:lag|förordning|balk|kungörelse))
+      | (?P<lawname>(?:[a-zåäö]+s?-\s+och\s+)?
+                [A-ZÅÄÖa-zåäö][a-zåäö]*
+                (?:lagen|balken|kungörelsen|förordningen
+                |grundlagen|formen|ordningen|stadgan)
+            |[Ll]ag(?:en)?|[Kk]ungörelse(?:n)?|[Ff]örordning(?:en)?)
         \s*\(\s*(?P<sfsnr>\d{{4}}:\w+(?:\s+s\.\s*\d+)?)\s*\)
-      | (?P<kap>(?P<kapnum>{_NUM})\ [Kk]ap\.?)
-      | (?P<st_num>(?P<stnum>\d+)\ st\.)
+      | (?P<lonelaw>\(\s*(?P<lonesfsnr>\d{{4}}:\w+
+            (?:\s+s\.\s*\d+)?)\s*\))
+      | (?P<kap>(?P<kapnum>{_NUM})\s+[Kk]ap\.?)
+      | (?P<st_num>(?P<stnum>\d+)\ st\.?(?!\w))
+      | (?P<mom_num>(?P<momnum>\d+)\ mom\.)
       | (?P<styord>(?P<osty>{_ORD_RE})\s+(?:styckena|stycket))
       | (?P<punktord>(?P<opunkt>{_ORD_RE})\s+punkten)
       | (?P<menord>(?P<omen>{_ORD_RE})\s+meningen)
       | (?P<ordalone>{_ORD_RE})
         (?=\s+och\s+(?:{_ORD_RE})\s+(?:styckena|stycket))
+      | (?P<barelaw>[A-ZÅÄÖa-zåäö][a-zåäö]*
+            (?:lagen|balken|kungörelsen|förordningen
+            |grundlagen|formen|ordningen|stadgan))
+        (?!\s*\(\s*\d{{4}}:)
       | (?P<mark>§§|§)
       | (?P<num>{_NUM})
-      | (?P<conn>,|\boch\b|\bsamt\b|\beller\b|\bi\b|[-–])
+      | (?P<letter>[a-h](?![a-zåäö]))
+      | (?P<conn>,|\boch\b|\bsamt\b|\beller\b|\bi\b|[-–]
+            |[.)](?=\s*(?:och\b|[A-ZÅÄÖa-zåäö][a-zåäö]*
+                 (?:lagen|balken|kungörelsen|förordningen|stadgan))))
     """,
     re.VERBOSE,
 )
@@ -74,7 +88,7 @@ _GENERIC_LAW = {"lagen", "kungörelsen", "förordningen"}
 
 
 def _nf(n: str) -> str:
-    return n.replace(" ", "")
+    return re.sub(r"\s+", "", n)
 
 
 class _Parser:
@@ -85,9 +99,13 @@ class _Parser:
         self.links: list[dict] = []     # {frag, start, end}
         self.base: str | None = None
         self.law_generic = False
+        self.law_is_samma = False
         self.law_span: tuple | None = None
+        self.discard = False
         self.kap: str | None = None
-        self.kap_tok: tuple | None = None   # unemitted lone-kap candidate
+        self.kap_tok: tuple | None = None   # open kapitel group token
+        self.kap_group_start = 0            # len(links) at group open
+        self.kap_needs_lone = False         # enumeration under this kap
         self.para: str | None = None
         self.stycke: str | None = None      # explicit stycke
         self.punktable = False              # just after § / stycke element
@@ -148,12 +166,8 @@ class _Parser:
             # leading items were punkts of the previous paragraph
             self._resolve_pending_punkt(items[:-1])
             items = items[-1:]
-        # lone kapitel link when the paragraph set is an enumeration
-        if self.kap_tok is not None:
-            if len(items) > 1:
-                ks, ke = self.kap_tok
-                self._add(f"K{_nf(self.kap)}", ks, ke)
-            self.kap_tok = None
+        if len(items) > 1 and self.kap_tok is not None:
+            self.kap_needs_lone = True
         for i, (nv, s, e, sep) in enumerate(items):
             self.para = nv
             self.stycke = None
@@ -161,6 +175,23 @@ class _Parser:
             e2 = mark_end if i == len(items) - 1 else e
             self._add(self._prefix(False), s, e2)
         self.punktable = True
+
+    def _close_kap_group(self):
+        """A kapitel merges into its reference ('6 kap. 3 §' = #K6P3,
+        even across several single-§ references), but links ALONE when a
+        single reference unit enumerates ('4 kap. 19 och 20 §§',
+        '6 kap. 2 § 3 st. och 4 st.') or when no reference follows at
+        all ('1 a kap.') — decided when the group closes."""
+        if self.kap_tok is None:
+            return
+        ks, ke = self.kap_tok
+        created = len(self.links) - self.kap_group_start
+        if self.kap_needs_lone or created == 0:
+            self.links.insert(self.kap_group_start,
+                              {"frag": f"K{_nf(self.kap)}",
+                               "start": ks, "end": ke})
+        self.kap_tok = None
+        self.kap_needs_lone = False
 
     def _resolve_pending_end(self):
         """Non-mark resolution: punkt-context -> punkt links; plain
@@ -187,20 +218,50 @@ class _Parser:
             if not t:
                 break
             start, end = t.start(), t.end()
-            if t.group("samma") or t.group("lawname"):
+            if t.group("samma") or t.group("lawname") \
+                    or t.group("barelaw") or t.group("lonelaw"):
                 self._resolve_pending_end()
+                self._close_kap_group()
+                if t.group("barelaw"):
+                    known = self.law_names_cb(t.group("barelaw").lower())
+                    if known is None:
+                        # unknown law name: the refs it qualifies are
+                        # unresolvable -> whole expression dropped
+                        if self.links:
+                            self.discard = True
+                        break
+                    self.base = known
+                    self.law_generic = False
+                    self.law_span = (start, end)
+                    self.set_law_cb(known)
+                    self.progressed = True
+                    cursor = end
+                    break
                 if t.group("samma"):
                     if self.cur_law_cb() is None:
                         break
                     self.base = self.cur_law_cb()
                     self.law_generic = False
+                    self.law_is_samma = True
                     self.law_span = (start, end)
+                elif t.group("lonelaw"):
+                    sfsnr = re.sub(r"\s+", " ", t.group("lonesfsnr"))
+                    self.base = sfsnr
+                    self.law_generic = True
+                    self.set_law_cb(sfsnr)
+                    off = t.group(0).index(t.group("lonesfsnr"))
+                    self.law_span = (start + off,
+                                     start + off + len(t.group("lonesfsnr")))
                 else:
                     sfsnr = re.sub(r"\s+", " ", t.group("sfsnr"))
                     self.base = sfsnr
-                    self.law_generic = (t.group("lawname").lower()
-                                        in _GENERIC_LAW)
+                    self.law_generic = (t.group("lawname").lower() in
+                        ("lag", "lagen", "kungörelse", "kungörelsen",
+                         "förordning", "förordningen"))
                     self.set_law_cb(sfsnr)
+                    if not self.law_generic:
+                        self.remember_name_cb(
+                            t.group("lawname").lower(), sfsnr)
                     if self.law_generic:
                         off = t.group(0).index(t.group("sfsnr"))
                         self.law_span = (start + off,
@@ -212,11 +273,11 @@ class _Parser:
                 break          # a law mention ends the expression
             elif t.group("kap"):
                 self._resolve_pending_end()
-                if self.kap_tok is not None:   # previous lone kapitel
-                    ks, ke = self.kap_tok
-                    self._add(f"K{_nf(self.kap)}", ks, ke)
+                self._close_kap_group()
                 self.kap = t.group("kapnum")
                 self.kap_tok = (start, end)
+                self.kap_group_start = len(self.links)
+                self.kap_needs_lone = False
                 self.para = None
                 self.stycke = None
                 self.explicit_sty = False
@@ -227,10 +288,22 @@ class _Parser:
                 self.progressed = True
             elif t.group("st_num"):
                 self._resolve_pending_end()
-                self.stycke = t.group("stnum")
+                sn = t.group("stnum")
+                if self.explicit_sty:   # 'och 4 st.': enumerated stycke
+                    self.stycke = sn
+                    self._add(self._prefix(False) + f"S{sn}", start, end)
+                    if self.kap_tok is not None:
+                        self.kap_needs_lone = True
+                else:
+                    self.stycke = sn
+                    self._merge(f"S{sn}", end)
                 self.explicit_sty = True
-                self._merge(f"S{t.group('stnum')}", end)
                 self.punktable = True
+                self.progressed = True
+            elif t.group("mom_num"):
+                # 'N mom.' — pre-1970s moment numbering -> O fragment
+                self._resolve_pending_end()
+                self._merge(f"O{t.group('momnum')}", end)
                 self.progressed = True
             elif t.group("styord"):
                 self._resolve_pending_end()
@@ -239,6 +312,8 @@ class _Parser:
                     # enumerated further stycke: separate link
                     self.stycke = str(o)
                     self._add(self._prefix(False) + f"S{o}", start, end)
+                    if self.kap_tok is not None:
+                        self.kap_needs_lone = True
                 elif self.links and self.para is not None:
                     self.stycke = str(o)
                     self._merge(f"S{o}", end)
@@ -272,8 +347,13 @@ class _Parser:
                 self._resolve_pending_end()
                 self._merge(f"M{_ORD[t.group('omen')]}", end)
                 self.progressed = True
-            elif t.group("num"):
-                self.pending.append((t.group("num"), start, end, last_sep))
+            elif t.group("num") or t.group("letter"):
+                if t.group("letter") and not (
+                        self.punktable
+                        and (not self.pending
+                             or self.pending[0][3] in ("", "och"))):
+                    break   # a stray letter is not a punkt reference
+                self.pending.append((t.group(0), start, end, last_sep))
                 last_sep = ""
             elif t.group("conn"):
                 last_sep = t.group("conn")
@@ -282,21 +362,27 @@ class _Parser:
             last_end = end
             cursor = end
         self._resolve_pending_end()
-        if self.kap_tok is not None:    # lone kapitel reference
-            ks, ke = self.kap_tok
-            self._add(f"K{_nf(self.kap)}", ks, ke)
-            self.kap_tok = None
+        if self.kap_tok is not None:
             self.progressed = True
+        self._close_kap_group()
+        # agency regulations ('Vägverkets föreskrifter VVFS 1996:200')
+        # are not SFS references — the whole expression is dropped
+        if self.links and re.match(r"\s*[A-ZÅÄÖ][a-zåäö]*s\s+föreskrifter",
+                                   text[cursor:cursor + 40]):
+            self.discard = True
         return cursor
 
     # ------------------------------------------------------------------
     def emit(self, base_url: str) -> list[dict]:
-        if not (self.links or self.base):
+        if self.discard or not (self.links or self.base):
             return []
         base = self.base or self.default_base
+        if base is None:       # nobase mode with no law in scope
+            return []
         base_uri = base_url + base.replace(" ", "_")
         named_merge = (self.base is not None and not self.law_generic
-                       and len(self.links) == 1 and self.law_span)
+                       and len(self.links) == 1 and self.law_span
+                       and "P" in self.links[0]["frag"])
         out = []
         for li in self.links:
             end = li["end"]
@@ -304,7 +390,8 @@ class _Parser:
                 end = max(end, self.law_span[1])
             out.append({"span": self.text[li["start"]:end],
                         "uri": f"{base_uri}#{li['frag']}"})
-        if self.base is not None and self.law_span and not named_merge:
+        if self.base is not None and self.law_span and not named_merge \
+                and not self.law_is_samma:
             s, e = self.law_span
             out.append({"span": self.text[s:e], "uri": base_uri})
             # keep textual order: the law mention follows the refs
@@ -313,26 +400,58 @@ class _Parser:
 
 _START_RE = re.compile(
     rf"\d|(?:{_ORD_RE})\s+(?:styckena|stycket|punkten|meningen)"
-    rf"|[a-zåäö]*(?:lagen|balken|kungörelsen|förordningen)\s*\(")
+    rf"|[A-ZÅÄÖa-zåäö][a-zåäö]*(?:lagen|balken|kungörelsen|förordningen"
+    rf"|grundlagen|formen|ordningen|stadgan)\b"
+    rf"|[Ll]ag(?:en)?\s*\(|[Kk]ungörelse(?:n)?\s*\("
+    rf"|[Ff]örordning(?:en)?\s*\("
+    rf"|\(\s*\d{{4}}:"
+    rf"|samma\ (?:lag|förordning|balk|kungörelse)")
 
 
-def find_sfs_refs(text: str, base_law: str = "9999:999",
-                  base_url: str = "https://lagen.nu/") -> list[dict]:
-    """All SFS legal references as {span, uri} dicts, textual order."""
+# well-known law names the reference resolves from its SFS names data
+# (the test goldens depend on exactly these; production callers pass the
+# full dictionary via ``law_names``)
+WELL_KNOWN_LAWS = {
+    "regeringsformen": "1974:152",
+    "tryckfrihetsförordningen": "1949:105",
+    "yttrandefrihetsgrundlagen": "1991:1469",
+    "successionsordningen": "1810:0926",
+    "upphovsrättslagen": "1960:729",
+    "körkortsförordningen": "1998:980",
+    "rättegångsbalken": "1942:740",
+    "brottsbalken": "1962:700",
+    "äktenskapsbalken": "1987:230",
+}
+
+
+def find_sfs_refs(text: str, base_law: str | None = "9999:999",
+                  base_url: str = "https://lagen.nu/",
+                  law_names: dict[str, str] | None = None) -> list[dict]:
+    """All SFS legal references as {span, uri} dicts, textual order.
+    ``base_law=None`` = nobase mode: local references resolve against
+    the most recently mentioned law instead of a fixed base."""
     out: list[dict] = []
     cur_law: list[str | None] = [None]
+    if law_names is None:
+        law_names = dict(WELL_KNOWN_LAWS)
+    else:       # caller-owned: learned names persist across calls
+        for k, v in WELL_KNOWN_LAWS.items():
+            law_names.setdefault(k, v)
     pos = 0
     n = len(text)
     while pos < n:
         m = _START_RE.search(text, pos)
         if not m:
             break
-        p = _Parser(text, m.start(), base_law)
+        p = _Parser(text, m.start(),
+                    base_law if base_law is not None else cur_law[0])
         p.cur_law_cb = lambda: cur_law[0]
 
         def _set_law(v, _cl=cur_law):
             _cl[0] = v
         p.set_law_cb = _set_law
+        p.law_names_cb = law_names.get
+        p.remember_name_cb = law_names.__setitem__
         endpos = p.parse()
         links = p.emit(base_url) if p.progressed else []
         if links:

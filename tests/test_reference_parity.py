@@ -130,33 +130,29 @@ def test_w3c_distill_parity(w3c_triples, bf):
 
 SFS_DIR = "/root/reference/test/files/legalref/SFS"
 
-# every committed golden file the C6 recognizer reproduces EXACTLY
-# (link-URI sequences).  The remaining files need the named-law
-# dictionary / förarbeten / EU-ref grammars — documented out of scope.
+# every committed golden file EXCEPT the two needing change-act '#L'
+# fragments resp. the 'anvisningarna punkt' component reordering —
+# documented out of scope; all 73 others with expected output
+# reproduce exactly (6 files carry no committed expectation -> skip).
+SFS_OUT_OF_SCOPE = {
+    "sfs-namngiven-referens.txt",       # ändrings-SFS '#L1997:289' frag
+    "sfs-tricky-punktanvisningar.txt",  # anvisningarna punkt N ordering
+}
 SFS_FILES = sorted(
     f for f in (os.listdir(SFS_DIR) if os.path.isdir(SFS_DIR) else [])
-    if f.startswith("sfs-basic-")
-) + [
-    "sfs-bemyndigande-elsakfs.txt", "sfs-degenerate.txt",
-    "sfs-multiple-item-refs.txt", "sfs-old-kungorelse.txt",
-    "sfs-regression-err1.txt", "sfs-regression-err2.txt",
-    "sfs-regression-i18n.txt",
-    "sfs-regression-kapitel-individuella-paragrafer.txt",
-    "sfs-regression-kapitel-paragraf-punkt.txt",
-    "sfs-regression-lag-kapitel-paragrafer.txt",
-    "sfs-regression-med-och-utan-kapitel.txt",
-    "sfs-regression-verdict-2000-1366.txt",
-    "sfs-regression-verdict-2004-1853.txt",
-    "sfs-regression-whitespace-2.txt", "sfs-regression-whitespace.txt",
-    "sfs-tricky-1982-713-5.txt", "sfs-tricky-i18n.txt",
-    "sfs-tricky-komma-och.txt", "sfs-tricky-nbsp.txt",
-    "sfs-tricky-paragrafer-bokstaver.txt",
-]
+    if f.startswith("sfs-") and f.endswith(".txt")
+    and f not in SFS_OUT_OF_SCOPE
+)
 
 
 def _load_sfs_golden(name: str):
     """-> [(input_text, [expected_uri, ...]), ...] sections."""
-    raw = open(f"{SFS_DIR}/{name}", encoding="iso-8859-1").read()
+    data = open(f"{SFS_DIR}/{name}", "rb").read()
+    try:        # the corpus is mixed: most latin-1, some utf-8 + CRLF
+        raw = data.decode("utf-8")
+    except UnicodeDecodeError:
+        raw = data.decode("iso-8859-1")
+    raw = raw.replace("\r\n", "\n")
     sections = re.split(r"\n---\n", raw)
     inputs, lists = [], []
     for sec in sections:
@@ -169,20 +165,31 @@ def _load_sfs_golden(name: str):
             inputs.append(sec)
     uris = [re.findall(r'<Link uri="([^"]+)"', ls) for ls in lists]
     texts = [t.strip("\n") for t in inputs if t.strip()]
+    if not texts and uris:      # empty-input golden (tomstrang)
+        texts = [""] * len(uris)
     return list(zip(texts, uris))
 
 
 @pytest.mark.parametrize("name", SFS_FILES)
 def test_sfs_legalref_parity(name):
     """C6: the SFS lagrum recognizer reproduces the reference's own
-    committed LegalRef goldens — exact link-URI sequences — for 45 of
-    the 83 SFS files (all 25 basic + 20 regression/tricky)."""
+    committed LegalRef goldens — exact link-URI sequences — for 73 of
+    the 75 SFS files that carry expected output (6 more have none
+    committed).  Harness markers mirror the reference's tests:
+    'NOBASE:' = resolve local refs against the last-mentioned law,
+    'RESET:' = clear the learned law-name memory."""
     from ferenda_spark.operators.sfs import find_sfs_refs
 
     cases = _load_sfs_golden(name)
-    assert cases, "golden file yielded no test sections"
+    if not cases:
+        pytest.skip("no committed expected output in this golden file")
+    shared: dict = {}
     for text, want in cases:
-        got = [r["uri"] for r in find_sfs_refs(text)]
+        if text.lstrip().startswith("RESET:"):
+            shared = {}
+        base = None if text.lstrip().startswith("NOBASE:") else "9999:999"
+        got = [r["uri"] for r in find_sfs_refs(text, base_law=base,
+                                               law_names=shared)]
         assert got == want, f"{name}: {got} != {want}"
 
 
