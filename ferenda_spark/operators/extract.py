@@ -210,12 +210,24 @@ def extract_one(url: str, html: bytes, with_blocks: bool = True) -> dict:
     # the active grammar set is repo config, like the reference's
     # per-DocumentRepository CitationParser (rfc.py:429-451)
     grammars = repo.get("citation_grammars", ("url",))
+
+    def _find(chunk: str) -> list[dict]:
+        found = find_citations(chunk, grammars)
+        if "sfs" in grammars:
+            from ferenda_spark.operators.sfs import find_sfs_refs
+            # legal references carry their minted URI in the url slot
+            # (kind 'sfs'); triples lift passes it through like a url
+            found += [{"span": r["span"], "kind": "sfs", "url": r["uri"],
+                       "rfcnum": None, "secref": None}
+                      for r in find_sfs_refs(chunk)]
+        return found
+
     if sections:
         for s in sections:
-            for c in find_citations(hp.normalize_space(s["text"]), grammars):
+            for c in _find(hp.normalize_space(s["text"])):
                 citations.append({"section_ordinal": s["ordinal"], **c})
     else:
-        for c in find_citations(text, grammars):
+        for c in _find(text):
             citations.append({"section_ordinal": None, **c})
 
     return {

@@ -263,7 +263,7 @@ def citation_triples(extracted: DataFrame) -> DataFrame:
         RFC_COIN_TEMPLATES, BASE_URL,
         {"rfcnum": F.col("rfcnum"), "secref": F.col("secref")},
     )
-    obj = (F.when(F.col("kind") == "url", F.col("cited_url"))
+    obj = (F.when(F.col("kind").isin("url", "sfs"), F.col("cited_url"))
            .when(F.col("kind") == "sec",
                  F.concat(F.col("doc_uri"), F.lit("#S"), F.col("secref")))
            .otherwise(minted))
@@ -412,7 +412,7 @@ def fused_scalar_triples(extracted: DataFrame,
             {"rfcnum": c["rfcnum"], "secref": c["secref"]})
         # 'sec' = bare doc-relative section citation (rfc.py:430-436:
         # empty base + "#S" + sec resolves against the document)
-        obj = (F.when(c["kind"] == "url", c["url"])
+        obj = (F.when(c["kind"].isin("url", "sfs"), c["url"])
                .when(c["kind"] == "sec",
                      F.concat(doc, F.lit("#S"), c["secref"]))
                .otherwise(minted))

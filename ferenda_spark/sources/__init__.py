@@ -45,6 +45,17 @@ REPOS = {
         # the RFC repo's CitationParser has NO url grammar (rfc.py:429-451)
         "citation_grammars": ("rfc",),
     },
+    "sfs": {
+        # lagen.nu-style Swedish statute pages: the C6 lagrum grammar
+        # runs as this repo's citation parser (operators/sfs.py)
+        "rdf_type": ns.BIBO_STANDARD,
+        "classname": "ferenda.sources.legal.se.SFS",
+        "content_selector": "body",
+        "filter_selectors": ("script",),
+        "structure": None,
+        "lang": "sv",
+        "citation_grammars": ("sfs",),
+    },
 }
 
 DEFAULT_REPO = REPOS["base"]

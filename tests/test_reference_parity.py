@@ -193,6 +193,85 @@ def test_sfs_legalref_parity(name):
         assert got == want, f"{name}: {got} != {want}"
 
 
+LEGALURI = "/root/reference/test/files/legaluri"
+
+
+def test_coin_legaluri_construct(spark):
+    """C7: compile_coin with templates hand-compiled from the
+    reference's OWN swedishlegalsource.space.ttl (forType dispatch,
+    priority, slugFrom maps) reproduces the committed legaluri
+    construct() goldens (test/files/legaluri/*.{py,txt},
+    integrationLegalURI.py Construct)."""
+    from pyspark.sql import functions as F
+
+    from ferenda_spark.operators.coin import (CoinBinding, CoinTemplate,
+                                              compile_coin)
+
+    # swedishlegalsource.space.ttl:51-70 + the sfs/platsangivelse form;
+    # slugs (:abbrSlug) are identity for these publications
+    slug = (("nja", "nja"), ("ad", "ad"), ("jk", "jk"))
+    templates = [
+        CoinTemplate(uri_template="{+base}/publ/rf/{serie}/{arsutgava}"
+                                  "/s_{sidnummer}",
+                     bindings=(CoinBinding("serie", slug_from=slug),
+                               CoinBinding("arsutgava"),
+                               CoinBinding("sidnummer")),
+                     for_type="Rattsfallsreferat", priority=1),
+        CoinTemplate(uri_template="{+base}/publ/rf/{serie}/{arsutgava}"
+                                  ":{lopnummer}",
+                     bindings=(CoinBinding("serie", slug_from=slug),
+                               CoinBinding("arsutgava"),
+                               CoinBinding("lopnummer")),
+                     for_type="Rattsfallsreferat"),
+        CoinTemplate(uri_template="{+base}/publ/avg/{publisher}"
+                                  "/{diarienummer}",
+                     bindings=(CoinBinding("publisher", slug_from=slug),
+                               CoinBinding("diarienummer")),
+                     for_type="VagledandeMyndighetsavgorande"),
+        CoinTemplate(uri_template="{+base}/publ/sfs/{law}",
+                     bindings=(CoinBinding("law"),),
+                     for_type="KonsolideradGrundforfattning"),
+    ]
+    # the committed (dict -> uri) pairs; type codes per legaluri.py:48-53
+    typemap = {1: "KonsolideradGrundforfattning", 7: "Rattsfallsreferat",
+               8: "VagledandeMyndighetsavgorande"}
+    cases = []
+    for name in ["lagrum-basic", "rattsfall-nja", "rattsfall-ad",
+                 "beslut-jk-basic"]:
+        d = eval(open(f"{LEGALURI}/{name}.py").read(),
+                 {"__builtins__": None}, {})
+        want = open(f"{LEGALURI}/{name}.txt").read().strip()
+        cases.append((typemap[d["type"]], d.get("law"),
+                      d.get("rattsfallspublikation"), d.get("arsutgava"),
+                      d.get("sidnummer"), d.get("lopnummer"),
+                      d.get("myndighet"), d.get("dnr"), want))
+    df = spark.createDataFrame(
+        cases, "rdf_type string, law string, serie string, "
+               "arsutgava string, sidnummer string, lopnummer string, "
+               "publisher string, diarienummer string, want string")
+    minted = compile_coin(
+        templates, "http://rinfo.lagrummet.se",
+        {c: F.col(c) for c in ["law", "serie", "arsutgava", "sidnummer",
+                               "lopnummer", "publisher", "diarienummer"]},
+        rdf_type=F.col("rdf_type"))
+    rows = df.select("want", minted.alias("got")).collect()
+    for r in rows:
+        assert r.got == r.want, (r.got, r.want)
+
+
+def test_sfs_repo_citations_in_extract():
+    """The C6 grammar runs as the 'sfs' repo's citation parser inside
+    the extract kernel; spans surface with their minted URIs."""
+    from ferenda_spark.operators.extract import extract_one
+    page = ("<html><body><p>Av 4 § indrivningsförordningen (1993:1229) "
+            "framgår att 3 § samma förordning gäller.</p></body></html>"
+            ).encode("utf-8")
+    got = extract_one("http://localhost:8000/res/sfs/1993:1229", page)
+    uris = [c["url"] for c in got["citations"] if c["kind"] == "sfs"]
+    assert uris == ["https://lagen.nu/1993:1229#P4",
+                    "https://lagen.nu/1993:1229#P3"]
+
+
 def _parse_result(path: str):
     """.result file -> list of str fragments and url-part dicts."""
     nodes: list = []
