@@ -53,7 +53,9 @@ _NUM = (r"\d+(?:\s?(?:[a-hj-z](?![a-zåäö])"
         r"|\s+(?:och|samt|eller)\b)))?")
 
 _TOKEN_RE = re.compile(
-    rf"""(?P<samma>samma\ (?:lag|förordning|balk|kungörelse))
+    rf"""(?P<stamp>(?:Lag|Förordning)\s*\(\s*
+            (?P<stampnr>\d{{4}}:\d+)\s*\)\s*\.)
+      | (?P<samma>samma\ (?:lag|förordning|balk|kungörelse))
       | (?P<lawname>(?:[a-zåäö]+s?-\s+och\s+)?
                 [A-ZÅÄÖa-zåäö][a-zåäö]*
                 (?:lagen|balken|kungörelsen|förordningen
@@ -67,17 +69,20 @@ _TOKEN_RE = re.compile(
       | (?P<mom_num>(?P<momnum>\d+)\ mom\.)
       | (?P<styord>(?P<osty>{_ORD_RE})\s+(?:styckena|stycket))
       | (?P<punktord>(?P<opunkt>{_ORD_RE})\s+punkten)
+      | (?P<punkt_num>punkt\s+(?P<pnum>\d+))
       | (?P<menord>(?P<omen>{_ORD_RE})\s+meningen)
       | (?P<ordalone>{_ORD_RE})
         (?=\s+och\s+(?:{_ORD_RE})\s+(?:styckena|stycket))
       | (?P<barelaw>[A-ZÅÄÖa-zåäö][a-zåäö]*
             (?:lagen|balken|kungörelsen|förordningen
             |grundlagen|formen|ordningen|stadgan))
+        (?P<gen>s)?
         (?!\s*\(\s*\d{{4}}:)
       | (?P<mark>§§|§)
       | (?P<num>{_NUM})
       | (?P<letter>[a-h](?![a-zåäö]))
-      | (?P<conn>,|\boch\b|\bsamt\b|\beller\b|\bi\b|[-–]
+      | (?P<conn>,|\boch\b|\bsamt\b|\beller\b|\bi\b
+            |\banvisningarna\b|[-–]
             |[.)](?=\s*(?:och\b|[A-ZÅÄÖa-zåäö][a-zåäö]*
                  (?:lagen|balken|kungörelsen|förordningen|stadgan))))
     """,
@@ -130,10 +135,22 @@ class _Parser:
     def _add(self, frag: str, s: int, e: int):
         self.links.append({"frag": frag, "start": s, "end": e})
 
+    _COMP_ORDER = "KPSNMO"
+
     def _merge(self, suffix: str, e: int):
-        if self.links:
-            self.links[-1]["frag"] += suffix
-            self.links[-1]["end"] = e
+        """Merge components into the previous link; the fragment always
+        renders in canonical K-P-S-N-M-O order regardless of the order
+        the text states them ('41 § anvisningarna punkt 4 första
+        stycket' -> #P41S1N4)."""
+        if not self.links:
+            return
+        comps = dict(re.findall(r"([KPSNMO])([0-9a-zåäö]*)",
+                                self.links[-1]["frag"]))
+        for k, v in re.findall(r"([KPSNMO])([0-9a-zåäö]*)", suffix):
+            comps[k] = v
+        self.links[-1]["frag"] = "".join(
+            k + comps[k] for k in self._COMP_ORDER if k in comps)
+        self.links[-1]["end"] = e
 
     # ------------------------------------------------------------------
     def _resolve_pending_punkt(self, items: list[tuple]):
@@ -218,6 +235,15 @@ class _Parser:
             if not t:
                 break
             start, end = t.start(), t.end()
+            if t.group("stamp"):
+                # amendment stamp at the end of a statute paragraph
+                # ('Lag (1997:289).') -> change-act fragment on the base
+                self._resolve_pending_end()
+                self._close_kap_group()
+                self._add(f"L{t.group('stampnr')}", start, end)
+                self.progressed = True
+                cursor = end
+                break
             if t.group("samma") or t.group("lawname") \
                     or t.group("barelaw") or t.group("lonelaw"):
                 self._resolve_pending_end()
@@ -343,6 +369,10 @@ class _Parser:
                 self._resolve_pending_end()
                 self._merge(f"N{_ORD[t.group('opunkt')]}", end)
                 self.progressed = True
+            elif t.group("punkt_num"):
+                self._resolve_pending_end()
+                self._merge(f"N{t.group('pnum')}", end)
+                self.progressed = True
             elif t.group("menord"):
                 self._resolve_pending_end()
                 self._merge(f"M{_ORD[t.group('omen')]}", end)
@@ -401,7 +431,7 @@ class _Parser:
 _START_RE = re.compile(
     rf"\d|(?:{_ORD_RE})\s+(?:styckena|stycket|punkten|meningen)"
     rf"|[A-ZÅÄÖa-zåäö][a-zåäö]*(?:lagen|balken|kungörelsen|förordningen"
-    rf"|grundlagen|formen|ordningen|stadgan)\b"
+    rf"|grundlagen|formen|ordningen|stadgan)s?\b"
     rf"|[Ll]ag(?:en)?\s*\(|[Kk]ungörelse(?:n)?\s*\("
     rf"|[Ff]örordning(?:en)?\s*\("
     rf"|\(\s*\d{{4}}:"

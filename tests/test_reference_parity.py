@@ -130,18 +130,11 @@ def test_w3c_distill_parity(w3c_triples, bf):
 
 SFS_DIR = "/root/reference/test/files/legalref/SFS"
 
-# every committed golden file EXCEPT the two needing change-act '#L'
-# fragments resp. the 'anvisningarna punkt' component reordering —
-# documented out of scope; all 73 others with expected output
-# reproduce exactly (6 files carry no committed expectation -> skip).
-SFS_OUT_OF_SCOPE = {
-    "sfs-namngiven-referens.txt",       # ändrings-SFS '#L1997:289' frag
-    "sfs-tricky-punktanvisningar.txt",  # anvisningarna punkt N ordering
-}
+# EVERY committed golden file; the 6 without committed expected
+# output skip at runtime, the other 75 reproduce exactly.
 SFS_FILES = sorted(
     f for f in (os.listdir(SFS_DIR) if os.path.isdir(SFS_DIR) else [])
     if f.startswith("sfs-") and f.endswith(".txt")
-    and f not in SFS_OUT_OF_SCOPE
 )
 
 
@@ -173,8 +166,8 @@ def _load_sfs_golden(name: str):
 @pytest.mark.parametrize("name", SFS_FILES)
 def test_sfs_legalref_parity(name):
     """C6: the SFS lagrum recognizer reproduces the reference's own
-    committed LegalRef goldens — exact link-URI sequences — for 73 of
-    the 75 SFS files that carry expected output (6 more have none
+    committed LegalRef goldens — exact link-URI sequences — for ALL
+    75 SFS files that carry expected output (6 more have none
     committed).  Harness markers mirror the reference's tests:
     'NOBASE:' = resolve local refs against the last-mentioned law,
     'RESET:' = clear the learned law-name memory."""
