@@ -63,49 +63,75 @@ _RFC_RE = re.compile(r"\[?RFC\s*(\d+)(?:\s*\])?")
 # (uriformats.py:47-58); CELEX minting here is an engine extension. ----
 _EU_MONTH = ("januari|februari|mars|april|maj|juni|juli|augusti"
              "|september|oktober|november|december")
-_EU_INST = r"(?:Europaparlamentets och rådets|rådets|kommissionens)"
-_EU_DIRECTIVE = r"(?:\d{2}|\d{4})/\d+/(?:EEG|EG)"
-_EU_REGULATION = r"\(\s*(?:EEG|EG)\s*\)\s*nr\s+\d+/(?:\d{2}|\d{4})"
+_EU_INST = r"(?:Europaparlamentets\s+och\s+rådets|rådets|kommissionens)"
+_EU_DIRECTIVE = r"(?:\d{4}|\d{2})/\d+/(?:EEG|EG)"
+_EU_REGULATION = r"\(\s*(?:EEG|EG)\s*\)\s*nr\s+\d+/(?:\d{4}|\d{2})"
 _EU_DATE = rf"\d{{1,2}}\s+(?:{_EU_MONTH})\s+\d{{4}}"
 _EU_ARTICLE = r"artikel\s+(\d+)(?:\.(\d+))?"
 _EU_LEGALACT = (rf"{_EU_INST}\s+(direktiv|förordning)\s+"
                 rf"((?:{_EU_DIRECTIVE})|(?:{_EU_REGULATION}))"
                 rf"\s+av\s+den\s+({_EU_DATE})")
 
+_EU_REF = rf"(?:{_EU_DIRECTIVE})|(?:{_EU_REGULATION})"
+# acts: optional institution, enumerable references, optional date —
+# the richer shape of the reference's LegalRef EBNF (its committed
+# EGLag goldens); the citationpatterns.eulaw pyparsing grammar is the
+# mandatory-institution/date subset of this
+_EU_ACTS = (rf"(?:{_EU_INST}\s+)?(direktiv|förordning)\s+({_EU_REF})"
+            rf"((?:\s*(?:,|och|samt|eller)\s+(?:{_EU_REF}))*)"
+            rf"(?:\s+av\s+den\s+({_EU_DATE}))?")
+
 _EULAW_RES = [  # MatchFirst order: ArticleLegalact, Legalact, Article
-    ("article_legalact", re.compile(
-        rf"{_EU_ARTICLE}\s+i\s+{_EU_LEGALACT}")),
-    ("legalact", re.compile(_EU_LEGALACT)),
+    ("article_legalact", re.compile(rf"{_EU_ARTICLE}\s+i\s+{_EU_ACTS}")),
+    ("legalact", re.compile(_EU_ACTS)),
     ("article", re.compile(_EU_ARTICLE)),
 ]
 
-_EU_DIR_PARTS = re.compile(r"(\d{2}|\d{4})/(\d+)/(EEG|EG)")
-_EU_REG_PARTS = re.compile(r"\(\s*(EEG|EG)\s*\)\s*nr\s+(\d+)/(\d{2}|\d{4})")
+_EU_DIR_PARTS = re.compile(r"(\d{4}|\d{2})/(\d+)/(EEG|EG)")
+_EU_REG_PARTS = re.compile(
+    r"\(\s*(EEG|EG)\s*\)\s*nr\s+(\d+)/(\d{4}|\d{2})")
+_EU_REF_RE = re.compile(_EU_REF)
 
 
-def _eulaw_parts(kind: str, m: re.Match) -> dict:
-    out = {"kind": "eulaw", "form": kind, "span": m.group(0),
-           "article": None, "subarticle": None, "acttype": None,
-           "year": None, "ordinal": None, "association": None,
-           "date": None}
+def _ref_parts(actref: str, out: dict):
+    if dm := _EU_DIR_PARTS.fullmatch(actref):
+        out["year"], out["ordinal"], out["association"] = dm.groups()
+    elif rm := _EU_REG_PARTS.fullmatch(actref):
+        out["association"], out["ordinal"], out["year"] = rm.groups()
+
+
+def _eulaw_parts(kind: str, m: re.Match) -> list[dict]:
+    """One dict per referenced act (enumerations distribute the
+    acttype: 'kommissionens direktiv 91/155/EEG, 93/67/EEG och
+    93/105/EG' yields three)."""
+    base = {"kind": "eulaw", "form": kind, "span": m.group(0),
+            "article": None, "subarticle": None, "acttype": None,
+            "year": None, "ordinal": None, "association": None,
+            "date": None}
     g = m.groups()
-    if kind in ("article_legalact", "article"):
-        out["article"], out["subarticle"] = g[0], g[1]
-    if kind in ("article_legalact", "legalact"):
-        off = 2 if kind == "article_legalact" else 0
-        out["acttype"], actref, out["date"] = g[off], g[off + 1], g[off + 2]
-        if dm := _EU_DIR_PARTS.fullmatch(actref):
-            out["year"], out["ordinal"], out["association"] = dm.groups()
-        elif rm := _EU_REG_PARTS.fullmatch(actref):
-            out["association"], out["ordinal"], out["year"] = rm.groups()
+    if kind == "article":
+        base["article"], base["subarticle"] = g[0], g[1]
+        return [base]
+    off = 2 if kind == "article_legalact" else 0
+    if kind == "article_legalact":
+        base["article"], base["subarticle"] = g[0], g[1]
+    base["acttype"], first_ref, extra, base["date"] = \
+        g[off], g[off + 1], g[off + 2], g[off + 3]
+    _ref_parts(first_ref, base)
+    out = [base]
+    for em in _EU_REF_RE.finditer(extra or ""):
+        d = dict(base, article=None, subarticle=None, span=em.group(0),
+                 year=None, ordinal=None, association=None)
+        _ref_parts(em.group(0), d)
+        out.append(d)
     return out
 
 
 def find_eulaw_citations(text: str) -> list[dict]:
     """All eulaw citation spans, non-overlapping, MatchFirst priority
-    (article+act > act > bare article) like the reference's
-    citationpatterns.eulaw."""
-    spans: list[tuple[int, int, dict]] = []
+    (article+act > act > bare article) like the reference's grammars;
+    enumerated act lists yield one entry per act."""
+    spans: list[tuple[int, int, list]] = []
     taken: list[tuple[int, int]] = []
 
     def free(s, e):
@@ -117,25 +143,30 @@ def find_eulaw_citations(text: str) -> list[dict]:
                 spans.append((m.start(), m.end(), _eulaw_parts(kind, m)))
                 taken.append((m.start(), m.end()))
     spans.sort(key=lambda t: t[0])
-    return [d for _, _, d in spans]
+    return [d for _, _, ds in spans for d in ds]
 
 
-def eulaw_celex_uri(parts: dict) -> str | None:
-    """CELEX-style URI for a recognized act (engine extension; the
-    reference's formatter is unimplemented).  Sector 3, 4-digit year,
-    L=directive / R=regulation, 4-digit number; '#A<article>' fragment."""
+def eulaw_celex_uri(parts: dict,
+                    base: str = "http://eur-lex.europa.eu/CELEX:",
+                    frag_prefix: str = "A") -> str | None:
+    """CELEX URI for a recognized act: sector 3, 4-digit year,
+    L=directive / R=regulation, 4-digit number, article fragment.
+    With base='https://lagen.nu/ext/celex/' and frag_prefix='' this is
+    the exact scheme of the reference's committed EGLag goldens
+    (test/files/legalref/EGLag; its in-code formatter is
+    unimplemented — uriformats.py:47-58)."""
     uri = None
     if parts["year"] and parts["ordinal"]:
         y = parts["year"]
         if len(y) == 2:
             y = ("19" if int(y) > 50 else "20") + y
         t = "L" if parts["acttype"] == "direktiv" else "R"
-        uri = f"http://eur-lex.europa.eu/CELEX:3{y}{t}{int(parts['ordinal']):04d}"
+        uri = f"{base}3{y}{t}{int(parts['ordinal']):04d}"
     if uri and parts["article"]:
         frag = parts["article"]
         if parts["subarticle"]:
             frag += "." + parts["subarticle"]
-        uri += f"#A{frag}"
+        uri += f"#{frag_prefix}{frag}"
     return uri
 
 

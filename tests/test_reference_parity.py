@@ -186,6 +186,48 @@ def test_sfs_legalref_parity(name):
         assert got == want, f"{name}: {got} != {want}"
 
 
+EGLAG_DIR = "/root/reference/test/files/legalref/EGLag"
+EGLAG_FILES = sorted(
+    f for f in (os.listdir(EGLAG_DIR) if os.path.isdir(EGLAG_DIR) else [])
+    if f.endswith(".txt"))
+
+
+def _load_eglag_golden(name: str):
+    data = open(f"{EGLAG_DIR}/{name}", "rb").read()
+    try:
+        raw = data.decode("utf-8")
+    except UnicodeDecodeError:
+        raw = data.decode("iso-8859-1")
+    raw = raw.replace("\r\n", "\n")
+    sections = re.split(r"\n---\n", raw)
+    cases = []
+    for sec in sections:
+        if "<list>" not in sec:
+            continue
+        head, _, rest = sec.partition("<list>")
+        cases.append((head.strip("\n"),
+                      re.findall(r'<Link uri="([^"]+)"', rest)))
+    return cases
+
+
+@pytest.mark.parametrize("name", EGLAG_FILES)
+def test_eglag_legalref_parity(name):
+    """C4 eulaw completion: find_eulaw_citations + the lagen.nu CELEX
+    minting reproduce the reference's committed EGLag goldens (exact
+    link-URI sequences; bare articles without an act mint nothing)."""
+    from ferenda_spark.operators.citations import (eulaw_celex_uri,
+                                                   find_eulaw_citations)
+
+    cases = _load_eglag_golden(name)
+    if not cases:
+        pytest.skip("no committed expected output")
+    for text, want in cases:
+        got = [u for c in find_eulaw_citations(text)
+               if (u := eulaw_celex_uri(
+                   c, base="https://lagen.nu/ext/celex/", frag_prefix=""))]
+        assert got == want, f"{name}: {got} != {want}"
+
+
 LEGALURI = "/root/reference/test/files/legaluri"
 
 
