@@ -213,13 +213,22 @@ def extract_one(url: str, html: bytes, with_blocks: bool = True) -> dict:
 
     def _find(chunk: str) -> list[dict]:
         found = find_citations(chunk, grammars)
+        # legal references carry their minted URI in the url slot
+        # (kind 'sfs'); triples lift passes it through like a url
         if "sfs" in grammars:
             from ferenda_spark.operators.sfs import find_sfs_refs
-            # legal references carry their minted URI in the url slot
-            # (kind 'sfs'); triples lift passes it through like a url
             found += [{"span": r["span"], "kind": "sfs", "url": r["uri"],
                        "rfcnum": None, "secref": None}
                       for r in find_sfs_refs(chunk)]
+        if "svlegal" in grammars:
+            from ferenda_spark.operators.svlegal import (
+                find_avg_refs, find_forarbete_refs, find_rattsfall_refs)
+            for f in (find_rattsfall_refs, find_forarbete_refs,
+                      find_avg_refs):
+                found += [{"span": r["span"], "kind": "sfs",
+                           "url": r["uri"], "rfcnum": None,
+                           "secref": None} for f_r in [f(chunk)]
+                          for r in f_r]
         return found
 
     if sections:

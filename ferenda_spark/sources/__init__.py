@@ -54,7 +54,7 @@ REPOS = {
         "filter_selectors": ("script",),
         "structure": None,
         "lang": "sv",
-        "citation_grammars": ("sfs",),
+        "citation_grammars": ("sfs", "svlegal"),
     },
 }
 

@@ -73,3 +73,35 @@ def test_natural_sort_orders_rfc_ids():
     ids = [f"RFC {n}" for n in (1, 2, 9, 10, 99, 100, 1000)]
     keys = [FN.natural_sort_key_py(i) for i in ids]
     assert sorted(keys) == keys
+
+
+# ---------------------------------------------------------------------------
+# legal-reference recognizers: total functions over arbitrary text
+
+from hypothesis import example, given, settings
+from hypothesis import strategies as st
+
+_legal_text = st.text(
+    alphabet=st.sampled_from(
+        list("abcdefghijklmnopqrstuvwxyzåäö ABCDEFGHIJKLMNOPQRSTUVWXYZÅÄÖ"
+             "0123456789 .,;:()-–/§\n")),
+    max_size=200)
+
+
+@settings(max_examples=120, deadline=None)
+@given(_legal_text)
+@example("3 § och 4 kap. 5 §§ lagen (1999:175) samt NJA 1998 s. 14")
+@example("§§§ 12 kap. kap. (((: samma lag")
+def test_legal_recognizers_total_and_deterministic(text):
+    """Never crash, always deterministic, uris always absolute."""
+    from ferenda_spark.operators.sfs import find_sfs_refs
+    from ferenda_spark.operators.svlegal import (find_avg_refs,
+                                                 find_forarbete_refs,
+                                                 find_rattsfall_refs)
+    for fn in (find_sfs_refs, find_rattsfall_refs,
+               find_forarbete_refs, find_avg_refs):
+        a = fn(text)
+        b = fn(text)
+        assert a == b
+        for r in a:
+            assert r["uri"].startswith("https://lagen.nu/")

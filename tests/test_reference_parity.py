@@ -373,16 +373,20 @@ def test_coin_legaluri_construct(spark):
 
 
 def test_sfs_repo_citations_in_extract():
-    """The C6 grammar runs as the 'sfs' repo's citation parser inside
-    the extract kernel; spans surface with their minted URIs."""
+    """The C6 grammars run as the 'sfs' repo's citation parsers inside
+    the extract kernel; spans surface with their minted URIs
+    (lagrum, rättsfall and förarbete recognizers all active)."""
     from ferenda_spark.operators.extract import extract_one
     page = ("<html><body><p>Av 4 § indrivningsförordningen (1993:1229) "
-            "framgår att 3 § samma förordning gäller.</p></body></html>"
+            "framgår att 3 § samma förordning gäller, jfr NJA 1998 s. 14 "
+            "och prop. 2002/03:12, s. 51.</p></body></html>"
             ).encode("utf-8")
     got = extract_one("http://localhost:8000/res/sfs/1993:1229", page)
-    uris = [c["url"] for c in got["citations"] if c["kind"] == "sfs"]
-    assert uris == ["https://lagen.nu/1993:1229#P4",
-                    "https://lagen.nu/1993:1229#P3"]
+    uris = {c["url"] for c in got["citations"] if c["kind"] == "sfs"}
+    assert "https://lagen.nu/1993:1229#P4" in uris
+    assert "https://lagen.nu/1993:1229#P3" in uris
+    assert "https://lagen.nu/rf/nja/1998s14" in uris
+    assert "https://lagen.nu/prop/2002/03:12#sid51" in uris
 
 
 def _parse_result(path: str):
