@@ -306,6 +306,48 @@ def test_eglag_legalref_parity(name):
         assert got == want, f"{name}: {got} != {want}"
 
 
+REF_ROOT = "/root/reference"
+
+URISPACE_CASES = [
+    ("rinfo",
+     f"{REF_ROOT}/ferenda/sources/legal/se/res/uri/"
+     "swedishlegalsource.space.ttl",
+     f"{REF_ROOT}/ferenda/sources/legal/se/res/uri/"
+     "swedishlegalsource.slugs.ttl",
+     f"{REF_ROOT}/test/files/legaluri/publ.atom"),
+    ("lagen.nu",
+     f"{REF_ROOT}/lagen/nu/res/uri/swedishlegalsource.space.ttl",
+     f"{REF_ROOT}/lagen/nu/res/uri/swedishlegalsource.slugs.ttl",
+     f"{REF_ROOT}/test/files/legaluri/lagen.nu.atom"),
+]
+
+
+@pytest.mark.parametrize("label,spacefile,slugsfile,atomfile",
+                         URISPACE_CASES,
+                         ids=[c[0] for c in URISPACE_CASES])
+def test_coin_urispace_atom_goldens(label, spacefile, slugsfile, atomfile):
+    """C7 (full config-driven form): operators/coinspace.py loads the
+    reference's OWN coin:URISpace definitions (templates with priority/
+    forType/match guards, slugFrom indirection, relToBase/relFromBase,
+    ToBaseChar slug transform) and mints EVERY resource description in
+    its committed atom integration goldens to the exact expected URI
+    (integrationLegalURI.py Coinstruct: 44 rinfo + 3 lagen.nu
+    entries)."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__),
+                                    "..", "tools"))
+    from coinspace_parity import load_entries
+
+    from ferenda_spark.operators.coinspace import URISpace
+
+    space = URISpace(open(spacefile).read(), open(slugsfile).read())
+    entries = load_entries(atomfile)
+    assert len(entries) >= 3
+    for want, res in entries:
+        got = space.coin_uri(res)
+        assert got == want, (res.get("type"), got, want)
+
+
 LEGALURI = "/root/reference/test/files/legaluri"
 
 
