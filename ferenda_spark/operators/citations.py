@@ -170,6 +170,18 @@ def eulaw_celex_uri(parts: dict,
     return uri
 
 
+def format_url(d: dict) -> str:
+    """Inverse of url_parts: parts dict -> url string (the reference's
+    uriformats.url, uriformats.py:28-44; goldens
+    test/files/uriformat/url/*.{json,txt})."""
+    out = f"{d['scheme']}://{d['netloc']}{d.get('path', '')}"
+    if "query" in d:
+        out += "?" + d["query"]
+    if "fragment" in d:
+        out += "#" + d["fragment"]
+    return out
+
+
 def url_parts(text: str) -> dict | None:
     """Parse ``text`` as one url; parts dict like the reference's
     ParseResults (absent keys omitted), or None."""

@@ -106,14 +106,30 @@ class FSMParser:
             f"for chunk {str(self.reader.peek())[:60]!r}"
         )
 
+    def make_child(self, constructor, state):
+        """Invoke ``constructor`` under a pushed ``state`` and return its
+        element (fsmparser.py make_child: used by list constructors to
+        build their first item)."""
+        self._stack.append(state)
+        try:
+            return constructor(self)
+        finally:
+            self._stack.pop()
+
     def make_children(self, parent):
         """Fill ``parent`` (a list-like) with children until a (False, _)
-        transition pops us out, or input ends."""
+        transition pops us out, or input ends.  A transition value may be
+        a CALLABLE (symbol, state_stack) -> (constructor, newstate) —
+        the reference's dynamic-transition form (fsmparser.py:141-148,
+        exercised by its nested-list test grammar)."""
         while True:
             symbol = self._recognize()
             if symbol is None:
                 return parent
-            constructor, newstate = self.transitions[(self._stack[-1], symbol)]
+            outcome = self.transitions[(self._stack[-1], symbol)]
+            if callable(outcome) and not isinstance(outcome, tuple):
+                outcome = outcome(symbol, self._stack)
+            constructor, newstate = outcome
             if constructor is False:
                 if newstate:  # rewrite the state we return to
                     if len(self._stack) >= 2:

@@ -306,6 +306,27 @@ def test_eglag_legalref_parity(name):
         assert got == want, f"{name}: {got} != {want}"
 
 
+URIFORMAT = "/root/reference/test/files/uriformat/url"
+
+
+@pytest.mark.parametrize(
+    "name", sorted(f[:-5] for f in (os.listdir(URIFORMAT)
+                                    if os.path.isdir(URIFORMAT) else [])
+                   if f.endswith(".json")))
+def test_uriformat_url_goldens(name):
+    """uriformats.url parity: parts dict -> url string against the
+    committed goldens (testURIFormats.py), and round-trip through
+    url_parts."""
+    import json
+
+    from ferenda_spark.operators.citations import format_url, url_parts
+
+    d = json.load(open(f"{URIFORMAT}/{name}.json"))
+    want = open(f"{URIFORMAT}/{name}.txt").read().strip()
+    assert format_url(d) == want
+    assert url_parts(want) == d
+
+
 REF_ROOT = "/root/reference"
 
 URISPACE_CASES = [
