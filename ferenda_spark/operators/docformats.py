@@ -1,0 +1,153 @@
+"""Binary document-format readers — S7 (PDF) / S8 (Word) of SURVEY §2,
+in the multimodal execution pattern: typed binary columns processed by
+Arrow-batched ``mapInPandas`` stages, blobs never shuffled.
+
+- **Word**: format detection by CONTENT (not filename — the reference's
+  committed `mislabeled.doc` fixture is really OOXML), and REAL .docx
+  paragraph extraction with the stdlib (zipfile + ElementTree over
+  word/document.xml w:p/w:t runs) — validated against the reference's
+  own committed fixtures (tests/test_reference_parity.py).  Legacy
+  binary .doc needs antiword (not in this container) -> STUB.
+  (reference: /root/reference/ferenda/wordreader.py)
+- **PDF**: page STRUCTURE is real (page-object count from the xref
+  data), text extraction needs font cmap decoding (pdftotext /
+  pdfminer, not in this container) -> STUB with a deterministic fake in
+  test mode, NotImplementedError in strict mode.
+  (reference: /root/reference/ferenda/pdfreader.py:29-916)
+
+Scale notes mirror operators/multimodal.py: derive text/metadata in the
+narrow map, join by key later; size Arrow batches by bytes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import xml.etree.ElementTree as ET
+import zipfile
+from collections.abc import Iterator
+from io import BytesIO
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+STRICT = False
+
+_W = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
+_OLE_MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+
+
+def detect_word_format(payload: bytes) -> str | None:
+    """'docx' (OOXML zip), 'doc' (legacy OLE), or None — by content,
+    like the reference's filetype sniffing (wordreader.py read())."""
+    if payload[:2] == b"PK":
+        return "docx"
+    if payload[:8] == _OLE_MAGIC:
+        return "doc"
+    return None
+
+
+def docx_paragraphs(payload: bytes) -> list[str]:
+    """REAL extraction: the non-empty paragraph texts of
+    word/document.xml (w:p elements, concatenated w:t runs)."""
+    with zipfile.ZipFile(BytesIO(payload)) as z:
+        root = ET.fromstring(z.read("word/document.xml"))
+    out = []
+    for p in root.iter(_W + "p"):
+        t = "".join(n.text or "" for n in p.iter(_W + "t"))
+        if t.strip():
+            out.append(t)
+    return out
+
+
+def doc_paragraphs(payload: bytes) -> list[str]:
+    """Legacy .doc -> paragraphs.  STUB: antiword is not available in
+    this container; deterministic fake keyed on content in test mode."""
+    if STRICT:
+        raise NotImplementedError("legacy .doc requires antiword")
+    h = hashlib.sha1(payload).hexdigest()
+    return [f"[doc-stub {h[:12]} paragraph {i}]" for i in range(3)]
+
+
+_PDF_PAGE_RE = re.compile(rb"/Type\s*/Page(?![s/\w])")
+_PDF_STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.S)
+
+
+def pdf_page_count(payload: bytes) -> int:
+    """REAL structure probe: number of page objects — scanning the raw
+    body first, then zlib-decompressed object streams (newer writers
+    keep the page dictionaries inside compressed streams)."""
+    import zlib
+
+    n = len(_PDF_PAGE_RE.findall(payload))
+    if n:
+        return n
+    for m in _PDF_STREAM_RE.finditer(payload):
+        try:
+            data = zlib.decompress(m.group(1))
+        except Exception:
+            continue
+        n += len(_PDF_PAGE_RE.findall(data))
+    return n
+
+
+def pdf_text_pages(payload: bytes) -> list[str]:
+    """Per-page text.  The page SPLIT is real (pdf_page_count); the
+    glyph decoding is stubbed (needs font cmaps -> pdftotext)."""
+    n = pdf_page_count(payload)
+    if STRICT:
+        raise NotImplementedError("pdf text extraction requires pdftotext")
+    h = hashlib.sha1(payload).hexdigest()
+    return [f"[pdf-stub {h[:12]} page {i + 1}]" for i in range(n)]
+
+
+# ---------------------------------------------------------------------------
+# the Spark stage
+
+DOC_PAGES_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("format", T.StringType()),     # docx | doc | pdf
+    T.StructField("seq", T.IntegerType()),       # paragraph / page number
+    T.StructField("text", T.StringType()),
+    T.StructField("ok", T.BooleanType()),
+    T.StructField("error", T.StringType()),
+])
+
+
+def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for url, kind, payload in zip(pdf["url"], pdf["kind"],
+                                      pdf["payload"]):
+            data = bytes(payload) if payload is not None else b""
+            try:
+                if kind == "pdf":
+                    fmt, chunks = "pdf", pdf_text_pages(data)
+                else:
+                    fmt = detect_word_format(data)
+                    if fmt == "docx":
+                        chunks = docx_paragraphs(data)
+                    elif fmt == "doc":
+                        chunks = doc_paragraphs(data)
+                    else:
+                        raise ValueError("not a Word document")
+                for i, text in enumerate(chunks):
+                    rows.append({"url": url, "format": fmt, "seq": i,
+                                 "text": text, "ok": True, "error": None})
+                if not chunks:
+                    rows.append({"url": url, "format": fmt, "seq": None,
+                                 "text": None, "ok": True, "error": None})
+            except Exception as e:   # quarantine, never fail the batch
+                rows.append({"url": url, "format": None, "seq": None,
+                             "text": None, "ok": False,
+                             "error": f"{type(e).__name__}: {e}"})
+        yield pd.DataFrame(rows,
+                           columns=[f.name for f in DOC_PAGES_SCHEMA.fields])
+
+
+def extract_documents(docs: DataFrame) -> DataFrame:
+    """docs(url, kind, payload) -> one row per page/paragraph.
+    Narrow map; blobs never shuffle."""
+    return docs.select("url", "kind", "payload").mapInPandas(
+        _batches, DOC_PAGES_SCHEMA)
