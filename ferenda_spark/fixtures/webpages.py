@@ -15,6 +15,9 @@ Page families (FIXTURES.md §1):
   filtered, preamble sections (w3c.py:25-207)
 - rfc:  <pre> RFC plaintext, two-column header, numbered sections,
   "RFC N" / "section X of [RFC N]" citations (rfc.py:101-427,549-634)
+- sfs:  lagen.nu-style Swedish statute page exercising the legal
+  citation grammars (lagrum + rättsfall + förarbete; operators/sfs.py,
+  operators/svlegal.py)
 
 Skew knob: one hot publisher ("Network Working Group") on ~60% of rfc
 rows — exercises the salted broadcast join / AQE skew path (SURVEY §4).
@@ -343,6 +346,51 @@ Abstract
     }
 
 
+def _build_sfs(i: int, rng: random.Random):
+    """lagen.nu-style Swedish statute page: the C6 lagrum grammar plus
+    the rättsfall/förarbete companions run as this repo's citation
+    parsers (operators/sfs.py, operators/svlegal.py)."""
+    alias = "sfs"
+    year = 1990 + i % 30
+    num = 100 + i % 800
+    basefile = f"{year}:{num}"
+    uri = canonical_uri(alias, basefile)
+    title = f"Lag ({basefile}) om {_words(rng, 2)}"
+    kap = 1 + i % 4
+    par = 1 + i % 20
+    rf_year = 1995 + i % 20
+    rf_page = 10 + i % 90
+    prop_id = f"{year}/{str(year + 1)[2:]}:{10 + i % 80}"
+    body = (f"Enligt {kap} kap. {par} § rättegångsbalken gäller vad som "
+            f"sägs i NJA {rf_year} s. {rf_page} och prop. {prop_id}, "
+            f"s. {20 + i % 60}.")
+    html = (f'<html lang="sv"><head><title>{title}</title></head>'
+            f"<body><p>{body}</p></body></html>")
+    data = html.encode("utf-8")
+
+    expected_text = _norm(body)
+    triples = [
+        _t(uri, ns.RDF_TYPE, ns.BIBO_STANDARD, True),
+        _t(uri, ns.DCT_TITLE, title, lang="sv"),
+        _t(uri, ns.DCT_IDENTIFIER, basefile),
+        _t(uri, ns.PROV_WASGENERATEDBY, "ferenda.sources.legal.se.SFS"),
+    ]
+    cites = [
+        f"https://lagen.nu/1942:740#K{kap}P{par}",
+        f"https://lagen.nu/rf/nja/{rf_year}s{rf_page}",
+        f"https://lagen.nu/prop/{prop_id}#sid{20 + i % 60}",
+    ]
+    citations = []
+    for c in cites:
+        triples.append(_t(uri, ns.DCT_REFERENCES, c, True))
+        citations.append({"subj": uri, "span": None, "cited_uri": c})
+    return data, "sv", {
+        "alias": alias, "basefile": basefile, "uri": uri, "title": title,
+        "lang": "sv", "text": expected_text, "triples": triples,
+        "citations": citations,
+    }
+
+
 # ---------------------------------------------------------------------------
 
 def gen_row(i: int, seed: int = 42) -> dict:
@@ -350,8 +398,9 @@ def gen_row(i: int, seed: int = 42) -> dict:
     what lets synthesis distribute (web_pages_df_dist)."""
     rng = random.Random((seed << 20) + i)
     fam = ("base", "base", "w3c", "rfc", "rfc", "base", "w3c", "rfc",
-           "base", "w3c")[i % 10]
-    build = {"base": _build_base, "w3c": _build_w3c, "rfc": _build_rfc}[fam]
+           "sfs", "w3c")[i % 10]
+    build = {"base": _build_base, "w3c": _build_w3c, "rfc": _build_rfc,
+             "sfs": _build_sfs}[fam]
     data, lang_col, golden = build(i, rng)
     url = golden["uri"]  # crawl url == canonical uri for fixtures
     return {
