@@ -106,7 +106,6 @@ class _Parser:
         self.base: str | None = None
         self.law_generic = False
         self.law_is_samma = False
-        self.law_sentence_end = False
         self.law_span: tuple | None = None
         self.discard = False
         self.kap: str | None = None
@@ -274,7 +273,6 @@ class _Parser:
                     self.base = known
                     self.law_generic = False
                     self.law_span = (start, end)
-                    self.law_sentence_end = text[end:end + 1] == "."
                     self.set_law_cb(known)
                     self.progressed = True
                     cursor = end
