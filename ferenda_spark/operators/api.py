@@ -1,0 +1,115 @@
+"""REST query-API semantics (SURVEY §3.3: GET /api/?q=…&facet=…&_stats)
+as Spark computations over the triples table — the engine twin of the
+reference's wsgiapp query endpoint (wsgiapp.py:248-571), validated
+against its committed response goldens
+(test/files/api/basicapi-*.json; tests/test_reference_parity.py).
+
+- ``stats_dataset``: the ';stats' response — per-dimension observation
+  counts over documents (rdf:type as prefixed term, dcterms:publisher
+  as ref, dcterms:issued bucketed by year)
+- ``faceted_query``: parameter-filtered document hits with pivoted
+  metadata, paged, as the API's items list
+
+Both run as DataFrame aggregations (groupBy + conditional-aggregation
+pivot — one shuffle each); only the final, page-sized result is
+collected to build the JSON envelope."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ferenda_spark import ns
+
+_QNAME_PREFIXES = sorted(ns.NS.items(), key=lambda kv: -len(kv[1]))
+
+
+def _qname(uri: str) -> str:
+    for pfx, base in _QNAME_PREFIXES:
+        if uri.startswith(base):
+            return f"{pfx}:{uri[len(base):]}"
+    return uri
+
+
+def stats_dataset(triples: DataFrame) -> dict:
+    """The ';stats' DataSet response (wsgiapp.py stats endpoint):
+    document counts per rdf:type term, publisher ref and issued year —
+    one aggregation per dimension over the distinct (subj, value)
+    pairs."""
+    dims = [
+        ("rdf_type", ns.RDF_TYPE,
+         lambda v: {"term": _qname(v)}),
+        ("dcterms_publisher", ns.DCT_PUBLISHER,
+         lambda v: {"ref": v}),
+        ("dcterms_issued", ns.DCT_ISSUED,
+         lambda v: {"year": v[:4]}),
+    ]
+    # documents only: fragment subjects (#S1 parts) are not dataset rows
+    docs = triples.where(~F.col("subj").contains("#"))
+    slices = []
+    for name, pred, shape in dims:
+        vals = (docs.where(F.col("pred") == pred)
+                .select("subj",
+                        (F.substring("obj", 1, 4) if name == "dcterms_issued"
+                         else F.col("obj")).alias("v"))
+                .distinct()
+                .groupBy("v").agg(F.count("*").alias("n"))
+                .orderBy("v")
+                .collect())
+        obs = []
+        for r in vals:
+            o = shape(r.v) if name != "dcterms_issued" else {"year": r.v}
+            o["count"] = r.n
+            obs.append(o)
+        slices.append({"dimension": name, "observations": obs})
+    return {"type": "DataSet", "slices": slices}
+
+
+def faceted_query(triples: DataFrame, params: dict[str, str],
+                  page: int = 0, page_size: int = 10,
+                  path: str = "/myapi/") -> dict:
+    """Parameter-filtered document list (wsgiapp.py:404-571): pivot the
+    per-document metadata, apply '*'-wildcard parameter filters, page.
+    ``params`` e.g. {'dcterms_publisher': '*/publisher/A'}."""
+    from urllib.parse import quote
+
+    preds = {
+        "rdf_type": ns.RDF_TYPE,
+        "dcterms_title": ns.DCT_TITLE,
+        "dcterms_identifier": ns.DCT_IDENTIFIER,
+        "dcterms_issued": ns.DCT_ISSUED,
+        "dcterms_publisher": ns.DCT_PUBLISHER,
+    }
+    triples = triples.where(~F.col("subj").contains("#"))
+    pivot = triples.groupBy("subj").agg(*[
+        F.max(F.when(F.col("pred") == p, F.col("obj"))).alias(k)
+        for k, p in preds.items()])
+    for key, pat in params.items():
+        col = F.col(key)
+        if pat.startswith("*"):
+            pivot = pivot.where(col.endswith(pat[1:]))
+        else:
+            pivot = pivot.where(col == pat)
+    total = pivot.count()
+    rows = (pivot.orderBy("subj")
+            .offset(page * page_size).limit(page_size).collect())
+    items = []
+    for r in rows:
+        items.append({
+            "iri": r.subj,
+            "rdf_type": r.rdf_type,
+            "dcterms_title": r.dcterms_title,
+            "dcterms_identifier": r.dcterms_identifier,
+            "dcterms_issued": r.dcterms_issued,
+            "dcterms_publisher": {"iri": r.dcterms_publisher,
+                                  "label": r.dcterms_publisher},
+        })
+    qs = "&".join(f"{k}={quote(v, safe='*')}" for k, v in params.items())
+    return {
+        "current": path + ("?" + qs if qs else ""),
+        "duration": None,
+        "items": items,
+        "itemsPerPage": page_size,
+        "startIndex": page * page_size,
+        "totalResults": total,
+    }

@@ -306,6 +306,53 @@ def test_eglag_legalref_parity(name):
         assert got == want, f"{name}: {got} != {want}"
 
 
+API_DIR = "/root/reference/test/files/api"
+BASE_DISTILLED = "/root/reference/test/files/base/distilled/123"
+
+
+@pytest.fixture(scope="module")
+def base_triples(spark):
+    """The 3 committed base documents' distilled graphs as a triples
+    DataFrame (the same dataset integrationAPI.py feeds its WSGI
+    endpoint)."""
+    from ferenda_spark.turtle import parse_turtle
+
+    rows = []
+    for bf in ("a", "b", "c"):
+        for t in parse_turtle(open(f"{BASE_DISTILLED}/{bf}.ttl").read()):
+            rows.append((t["subj"], t["pred"], t["obj"],
+                         bool(t["obj_is_uri"]), t["obj_lang"],
+                         t["obj_datatype"]))
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_is_uri boolean, "
+              "obj_lang string, obj_datatype string")
+
+
+def test_api_stats_golden(base_triples):
+    """§3.3: the ';stats' endpoint response over the committed base
+    dataset equals the committed basicapi-stats.json byte-for-values."""
+    import json
+
+    from ferenda_spark.operators.api import stats_dataset
+
+    want = json.load(open(f"{API_DIR}/basicapi-stats.json"))
+    got = stats_dataset(base_triples)
+    assert got == want
+
+
+def test_api_faceted_query_golden(base_triples):
+    """§3.3: a parameter-filtered query (dcterms_publisher=*/publisher/A)
+    reproduces the committed basicapi-faceted-query.json response."""
+    import json
+
+    from ferenda_spark.operators.api import faceted_query
+
+    want = json.load(open(f"{API_DIR}/basicapi-faceted-query.json"))
+    got = faceted_query(base_triples,
+                        {"dcterms_publisher": "*/publisher/A"})
+    assert got == want
+
+
 URIFORMAT = "/root/reference/test/files/uriformat/url"
 
 
