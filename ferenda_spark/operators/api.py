@@ -65,6 +65,72 @@ def stats_dataset(triples: DataFrame) -> dict:
     return {"type": "DataSet", "slices": slices}
 
 
+def parsed_doc_text(xhtml: bytes) -> dict[str, str]:
+    """Document-level body text per resource from a parsed XHTML+RDFa
+    file: text directly under an ``about`` scope belongs to that
+    resource; nested about-divs start their own scope (the reference
+    indexes parts separately — fulltextindex.py update flow)."""
+    from ferenda_spark import htmlparse as hp
+
+    tree = hp.parse_html(xhtml.decode("utf-8"))
+    out: dict[str, list[str]] = {}
+
+    def walk(node, scope):
+        about = node.attrs.get("about") if isinstance(node, hp.Node) else None
+        if about:
+            scope = about
+        for c in getattr(node, "children", []):
+            if isinstance(c, str):
+                if scope and c.strip():
+                    out.setdefault(scope, []).append(c.strip())
+            else:
+                if c.tag in ("head", "title", "script"):
+                    continue
+                walk(c, scope)
+
+    walk(tree, None)
+    return {k: " ".join(v) for k, v in out.items()}
+
+
+def fulltext_query(triples: DataFrame, texts: DataFrame, q: str,
+                   params: dict[str, str] | None = None,
+                   page: int = 0, page_size: int = 10,
+                   path: str = "/myapi/") -> dict:
+    """Free-text query (wsgiapp.py:404-571): hits in a document's own
+    body text or title, combinable with facet parameter filters.  Body
+    hits carry an ES-flavored highlight fragment (from the match to a
+    ~100-char window, <em class="match"> wrapped — the committed
+    basicapi goldens' shape); title hits carry no fragment."""
+    from urllib.parse import quote
+
+    env = faceted_query(triples, params or {}, page=page,
+                        page_size=10**9, path=path)
+    text_by_iri = {r.iri: r.text for r in texts.collect()}
+    items = []
+    for item in env["items"]:
+        text = text_by_iri.get(item["iri"], "")
+        title = item.get("dcterms_title") or ""
+        tpos = text.find(q)
+        if tpos >= 0:
+            frag = text[tpos:tpos + 100]
+            frag = frag.replace(q, f'<em class="match">{q}</em>', 1)
+            item = dict(item, matches={"text": frag})
+        elif q not in title:
+            continue
+        items.append(item)
+    qs = "&".join([f"q={quote(q, safe='*')}"] +
+                  [f"{k}={quote(v, safe='*')}"
+                   for k, v in (params or {}).items()])
+    return {
+        "current": f"{path}?{qs}",
+        "duration": None,
+        "items": items[page * page_size:(page + 1) * page_size],
+        "itemsPerPage": page_size,
+        "startIndex": page * page_size,
+        "totalResults": len(items),
+    }
+
+
 def faceted_query(triples: DataFrame, params: dict[str, str],
                   page: int = 0, page_size: int = 10,
                   path: str = "/myapi/") -> dict:

@@ -353,6 +353,33 @@ def test_api_faceted_query_golden(base_triples):
     assert got == want
 
 
+def test_api_fulltext_and_complex_query_goldens(spark, base_triples):
+    """§3.3: free-text and combined text+facet queries over the same
+    committed dataset (parsed XHTML body text) reproduce the committed
+    basicapi-fulltext-query.json / basicapi-complex-query.json."""
+    import json
+
+    from ferenda_spark.operators.api import fulltext_query, parsed_doc_text
+
+    rows = []
+    for bf in ("a", "b", "c"):
+        texts = parsed_doc_text(
+            open(f"/root/reference/test/files/base/parsed/123/{bf}.xhtml",
+                 "rb").read())
+        for iri, text in texts.items():
+            rows.append((iri, text))
+    texts_df = spark.createDataFrame(rows, "iri string, text string")
+
+    want = json.load(open(f"{API_DIR}/basicapi-fulltext-query.json"))
+    got = fulltext_query(base_triples, texts_df, "tail")
+    assert got == want
+
+    want = json.load(open(f"{API_DIR}/basicapi-complex-query.json"))
+    got = fulltext_query(base_triples, texts_df, "haystack",
+                         params={"dcterms_publisher": "*/publisher/B"})
+    assert got == want
+
+
 URIFORMAT = "/root/reference/test/files/uriformat/url"
 
 
