@@ -24,8 +24,10 @@ from ferenda_spark import ns
 _QNAME_PREFIXES = sorted(ns.NS.items(), key=lambda kv: -len(kv[1]))
 
 
-def _qname(uri: str) -> str:
-    for pfx, base in _QNAME_PREFIXES:
+def _qname(uri: str, extra: dict[str, str] | None = None) -> str:
+    pairs = list((extra or {}).items()) + [
+        (p, b) for p, b in _QNAME_PREFIXES]
+    for pfx, base in sorted(pairs, key=lambda kv: -len(kv[1])):
         if uri.startswith(base):
             return f"{pfx}:{uri[len(base):]}"
     return uri
@@ -62,6 +64,60 @@ def stats_dataset(triples: DataFrame) -> dict:
             o["count"] = r.n
             obs.append(o)
         slices.append({"dimension": name, "observations": obs})
+    return {"type": "DataSet", "slices": slices}
+
+
+def faceting_dataset(repo_facets: list[tuple[list, DataFrame]],
+                     prefixes: dict[str, str] | None = None) -> dict:
+    """The multi-repo ';stats' faceting response (wsgiapp.py:248-402
+    over several repos' facet declarations, as exercised by the
+    reference's advancedapi goldens): each repo contributes its
+    statistics-capable facets (URI/Resource/Datetime/Boolean/Keyword/
+    Value index types; Text/Label and multi-valued Resource facets are
+    not statistics dimensions), dimensions merge across repos in
+    declaration order, observations count distinct (document, value)
+    pairs.
+
+    ``repo_facets``: [(facet_config, triples_df), ...] where
+    facet_config = [(dimension_name, predicate_uri, kind), ...] and
+    kind in 'term' | 'ref' | 'year' | 'bool' | 'keyword' | 'value'
+    | 'april' (the is_april_fools custom selector: bucket by whether
+    the date is April 1st)."""
+    from collections import OrderedDict
+
+    dims: "OrderedDict[str, tuple[str, list]]" = OrderedDict()
+    for facets, triples in repo_facets:
+        docs = triples.where(~F.col("subj").contains("#"))
+        for dimension, pred, kind in facets:
+            v = F.col("obj")
+            if kind == "year":
+                v = F.substring("obj", 1, 4)
+            elif kind == "april":
+                v = (F.substring("obj", 6, 5) == "04-01").cast("string")
+            rows = (docs.where(F.col("pred") == pred)
+                    .select("subj", v.alias("v")).distinct().collect())
+            dims.setdefault(dimension, (kind, []))[1].extend(
+                (r.v for r in rows))
+    slices = []
+    for dimension, (kind, values) in dims.items():
+        counts: dict = {}
+        for v in values:
+            counts[v] = counts.get(v, 0) + 1
+        obs = []
+        for v in sorted(counts):
+            if kind == "term":
+                o = {"term": _qname(v, prefixes)}
+            elif kind == "ref":
+                o = {"ref": v}
+            elif kind == "year":
+                o = {"year": v}
+            elif kind in ("bool", "april"):
+                o = {"value": v == "true"}
+            else:
+                o = {"value": v}
+            o["count"] = counts[v]
+            obs.append(o)
+        slices.append({"dimension": dimension, "observations": obs})
     return {"type": "DataSet", "slices": slices}
 
 

@@ -380,6 +380,51 @@ def test_api_fulltext_and_complex_query_goldens(spark, base_triples):
     assert got == want
 
 
+TESTREPOS = "/root/reference/test/files/testrepos"
+
+
+def test_api_advanced_faceting_golden(spark):
+    """§3.3 advanced: the multi-repo faceting response over the
+    committed testrepos datasets — documents built by RDFa extraction
+    from their parsed XHTML exactly like integrationAPI.py does, facet
+    declarations mirroring examplerepos.py DocRepo1-3 — reproduces the
+    committed advancedapi-faceting.json."""
+    import json
+
+    from ferenda_spark import ns as NS
+    from ferenda_spark.operators.api import faceting_dataset
+    from ferenda_spark.operators.rdfa import extract_rdfa
+
+    def repo_triples(alias):
+        rows = []
+        for bf in ("a", "b", "c", "d"):
+            for t in extract_rdfa(open(
+                    f"{TESTREPOS}/{alias}/parsed/{bf}.xhtml", "rb").read()):
+                rows.append((t["subj"], t["pred"], t["obj"]))
+        return spark.createDataFrame(rows, "subj string, pred string, "
+                                           "obj string")
+
+    DC = "http://purl.org/dc/elements/1.1/"
+    # statistics-capable facets per repo (examplerepos.py: DocRepo1 has
+    # the defaults; DocRepo2 adds the aprilfools/keyword/boolean
+    # facets; DocRepo3's only stats-capable facet is dc:creator —
+    # Text/Label and multi-valued Resource facets carry no stats slice)
+    repo1 = [("rdf_type", NS.RDF_TYPE, "term"),
+             ("dcterms_publisher", NS.DCT_PUBLISHER, "ref"),
+             ("dcterms_issued", NS.DCT_ISSUED, "year")]
+    repo2 = repo1 + [("aprilfools", NS.DCT_ISSUED, "april"),
+                     ("dc_subject", DC + "subject", "keyword"),
+                     ("schema_free", "http://schema.org/free", "bool")]
+    repo3 = [("dc_creator", DC + "creator", "value")]
+    got = faceting_dataset(
+        [(repo1, repo_triples("repo1")),
+         (repo2, repo_triples("repo2")),
+         (repo3, repo_triples("repo3"))],
+        prefixes={"ex": "http://example.org/vocab/"})
+    want = json.load(open(f"{API_DIR}/advancedapi-faceting.json"))
+    assert got == want
+
+
 URIFORMAT = "/root/reference/test/files/uriformat/url"
 
 
