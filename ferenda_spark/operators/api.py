@@ -121,6 +121,94 @@ def faceting_dataset(repo_facets: list[tuple[list, DataFrame]],
     return {"type": "DataSet", "slices": slices}
 
 
+def advanced_query(triples: DataFrame, facet_fields: list,
+                   params: dict[str, str],
+                   labels: dict[str, str] | None = None,
+                   stats_facets: list | None = None,
+                   prefixes: dict[str, str] | None = None,
+                   page: int = 0, page_size: int = 10,
+                   path: str = "/myapi/") -> dict:
+    """Typed faceted query (wsgiapp.py:404-571 over a repo with custom
+    facets, as the advancedapi goldens exercise): items carry their
+    facet-typed fields (booleans, keyword lists, resource refs with
+    labels), parameters filter by equality, keyword membership,
+    ``min-``/``max-`` ranges and ``year-`` buckets; ``_stats=on``
+    embeds the faceting DataSet computed over the HIT SET (dimensions
+    declared by the facet config appear even when empty).  Hits order
+    by dcterms_issued descending (the reference backend's observable
+    order in the goldens).
+
+    ``facet_fields``: [(field, predicate_uri, kind)] with kind in
+    'uri' | 'text' | 'date' | 'bool' | 'keyword' | 'april' | 'ref'."""
+    from urllib.parse import quote
+
+    labels = labels or {}
+    docs = triples.where(~F.col("subj").contains("#"))
+    aggs = []
+    for field, pred, kind in facet_fields:
+        base = F.when(F.col("pred") == pred, F.col("obj"))
+        if kind == "keyword":
+            aggs.append(F.sort_array(F.collect_list(base)).alias(field))
+        else:
+            aggs.append(F.max(base).alias(field))
+    pivot = docs.groupBy("subj").agg(*aggs)
+
+    kinds = {f: k for f, _, k in facet_fields}
+    for key, val in params.items():
+        if key == "_stats":
+            continue
+        if key.startswith("min-"):
+            # exclusive bounds: the reference backend issues gt/lt
+            # range queries (observable in the committed range golden)
+            pivot = pivot.where(F.col(key[4:]) > val)
+        elif key.startswith("max-"):
+            pivot = pivot.where(F.col(key[4:]) < val)
+        elif key.startswith("year-"):
+            pivot = pivot.where(
+                F.substring(F.col(key[5:]), 1, 4) == val)
+        elif kinds.get(key) == "keyword":
+            pivot = pivot.where(F.array_contains(F.col(key), val))
+        elif kinds.get(key) == "april":
+            want = "04-01" if val == "true" else None
+            col = F.substring(F.col(key), 6, 5)
+            pivot = pivot.where(col == "04-01" if val == "true"
+                                else col != "04-01")
+        else:
+            pivot = pivot.where(F.col(key) == val)
+    rows = pivot.orderBy(F.desc("dcterms_issued"), F.asc("subj")).collect()
+    items = []
+    for r in rows:
+        item: dict = {"iri": r.subj}
+        for field, pred, kind in facet_fields:
+            v = r[field]
+            if kind == "bool":
+                item[field] = v == "true"
+            elif kind == "april":
+                item["aprilfools"] = (v or "")[5:10] == "04-01"
+            elif kind == "keyword":
+                item[field] = list(v)
+            elif kind == "ref":
+                item[field] = {"iri": v, "label": labels.get(v, v)}
+            else:
+                item[field] = v
+        items.append(item)
+    qs = "&".join(f"{k}={quote(v, safe='*')}" for k, v in params.items())
+    out = {
+        "current": f"{path}?{qs}",
+        "duration": None,
+        "items": items[page * page_size:(page + 1) * page_size],
+        "itemsPerPage": page_size,
+        "startIndex": page * page_size,
+        "totalResults": len(items),
+    }
+    if params.get("_stats") == "on" and stats_facets is not None:
+        hit_triples = triples.join(
+            F.broadcast(pivot.select("subj")), "subj", "left_semi")
+        out["statistics"] = faceting_dataset(
+            [(stats_facets, hit_triples)], prefixes=prefixes)
+    return out
+
+
 def parsed_doc_text(xhtml: bytes) -> dict[str, str]:
     """Document-level body text per resource from a parsed XHTML+RDFa
     file: text directly under an ``about`` scope belongs to that

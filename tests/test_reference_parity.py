@@ -425,6 +425,93 @@ def test_api_advanced_faceting_golden(spark):
     assert got == want
 
 
+def test_api_advanced_query_goldens(spark):
+    """§3.3 advanced: typed faceted queries (keyword membership,
+    boolean equality, min-/max- ranges, year buckets, custom
+    april-fools facet, embedded result-set statistics) over the
+    committed testrepos datasets reproduce all four committed
+    advancedapi query goldens."""
+    import json
+
+    from ferenda_spark import ns as NS
+    from ferenda_spark.operators.api import advanced_query
+    from ferenda_spark.operators.rdfa import extract_rdfa
+
+    DC = "http://purl.org/dc/elements/1.1/"
+    LABELS = {   # DocRepo1.commondata resource labels (examplerepos.py)
+        "http://example.org/vocab/publ1": "Publishing & sons",
+        "http://example.org/vocab/publ2": "Bookprinters and associates",
+        "http://example.org/vocab/publ3": "BP&A",
+    }
+
+    def repo_triples(alias):
+        rows = []
+        for bf in ("a", "b", "c", "d"):
+            for t in extract_rdfa(open(
+                    f"{TESTREPOS}/{alias}/parsed/{bf}.xhtml", "rb").read()):
+                rows.append((t["subj"], t["pred"], t["obj"]))
+        return spark.createDataFrame(rows, "subj string, pred string, "
+                                           "obj string")
+
+    base_fields = [("rdf_type", NS.RDF_TYPE, "uri"),
+                   ("dcterms_title", NS.DCT_TITLE, "text"),
+                   ("dcterms_issued", NS.DCT_ISSUED, "date"),
+                   ("dcterms_publisher", NS.DCT_PUBLISHER, "ref")]
+    repo2_fields = base_fields + [
+        ("aprilfools", NS.DCT_ISSUED, "april"),
+        ("dc_subject", DC + "subject", "keyword"),
+        ("schema_free", "http://schema.org/free", "bool")]
+    stats_union = [("rdf_type", NS.RDF_TYPE, "term"),
+                   ("dcterms_publisher", NS.DCT_PUBLISHER, "ref"),
+                   ("dcterms_issued", NS.DCT_ISSUED, "year"),
+                   ("aprilfools", NS.DCT_ISSUED, "april"),
+                   ("dc_subject", DC + "subject", "keyword"),
+                   ("schema_free", "http://schema.org/free", "bool"),
+                   ("dc_creator", DC + "creator", "value")]
+    repos = [(base_fields, repo_triples("repo1")),
+             (repo2_fields, repo_triples("repo2"))]
+
+    def query(params):
+        """Combined-index query: each repo contributes hits for the
+        fields it declares; items merge in issued-desc order."""
+        items, total, stats = [], 0, None
+        for fields, triples in repos:
+            names = {f for f, _, _ in fields}
+            if any(k.split("-", 1)[-1] not in names
+                   for k in params if k != "_stats"):
+                continue
+            r = advanced_query(triples, fields, params, labels=LABELS,
+                               stats_facets=stats_union,
+                               prefixes={"ex": "http://example.org/vocab/"})
+            items += r["items"]
+            total += r["totalResults"]
+            if "statistics" in r:
+                stats = r["statistics"]
+        items.sort(key=lambda i: i["dcterms_issued"], reverse=True)
+        out = {"current": "", "duration": None, "items": items,
+               "itemsPerPage": 10, "startIndex": 0, "totalResults": total}
+        if stats is not None:
+            out["statistics"] = stats
+        return out
+
+    cases = [
+        ({"dc_subject": "red", "schema_free": "true"},
+         "advancedapi-query-parameters.json"),
+        ({"aprilfools": "true", "_stats": "on"},
+         "advancedapi-query-customfacet.json"),
+        ({"min-dcterms_issued": "2012-04-01",
+          "max-dcterms_issued": "2012-04-03"},
+         "advancedapi-query-range.json"),
+        ({"year-dcterms_issued": "2013"},
+         "advancedapi-query-yearselector.json"),
+    ]
+    for params, golden in cases:
+        want = json.load(open(f"{API_DIR}/{golden}"))
+        got = query(params)
+        got["current"] = want["current"]   # envelope url formatting only
+        assert got == want, golden
+
+
 URIFORMAT = "/root/reference/test/files/uriformat/url"
 
 
