@@ -157,7 +157,11 @@ def advanced_query(triples: DataFrame, facet_fields: list,
     for key, val in params.items():
         if key == "_stats":
             continue
-        if key.startswith("min-"):
+        if key == "uri":
+            pivot = (pivot.where(F.col("subj").endswith(val[1:]))
+                     if val.startswith("*")
+                     else pivot.where(F.col("subj") == val))
+        elif key.startswith("min-"):
             # exclusive bounds: the reference backend issues gt/lt
             # range queries (observable in the committed range golden)
             pivot = pivot.where(F.col(key[4:]) > val)

@@ -476,7 +476,7 @@ def test_api_advanced_query_goldens(spark):
         fields it declares; items merge in issued-desc order."""
         items, total, stats = [], 0, None
         for fields, triples in repos:
-            names = {f for f, _, _ in fields}
+            names = {f for f, _, _ in fields} | {"uri"}
             if any(k.split("-", 1)[-1] not in names
                    for k in params if k != "_stats"):
                 continue
@@ -495,6 +495,7 @@ def test_api_advanced_query_goldens(spark):
         return out
 
     cases = [
+        ({"uri": "*/repo1/a"}, "advancedapi-indexing.json"),
         ({"dc_subject": "red", "schema_free": "true"},
          "advancedapi-query-parameters.json"),
         ({"aprilfools": "true", "_stats": "on"},
