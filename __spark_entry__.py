@@ -22,8 +22,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(Q.registry())  # ordered; kg_pipeline is the first entry
+    # ordered, EXACTLY 50 entries (the driver checks the first 50 —
+    # capping the registry means none is silently unchecked); further
+    # locally-gated twins live in Q.registry_extra()
+    return dict(Q.registry())
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(Q.ORACLE)
+    qs = Q.registry()
+    return {k: v for k, v in Q.ORACLE.items() if k in qs}

@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "dedup_minhash_signature",
     "dedup_lsh_pairs",
     "dedup_simhash",
+    "dedup_simhash_band_pairs",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "ann_cosine_topk",
@@ -63,6 +64,7 @@ BENCH_QUERIES = [
     "dependency_join",
     "dependency_closure_2hop",
     "citations_rfc_regex",
+    "citations_ecj",
     "kg_set_diff",
     "events_hourly_windows",
     "multimodal_features",
@@ -184,7 +186,7 @@ def main():
     # operator query suite at full parallelism
     spark = get_spark("bench_queries", cores=CPUS,
                       shuffle_partitions=max(CPUS, 8))
-    reg = Q.registry()
+    reg = {**Q.registry(), **Q.registry_extra()}
     _noop_write(reg["kg_triples_lift"](spark, SF_DIR))  # JVM/scan warmup
     queries: dict = {}
     for name in BENCH_QUERIES:

@@ -55,34 +55,38 @@ def title_sortkey_py(s: str) -> str:
 
 # ---------------------------------------------------------------------------
 # natural sort key (split_numalpha, util.py:207-237): "RFC 10" < "RFC 9"
-# under plain string sort; fixed by zero-padding every digit run.  As a
-# single sortable STRING column (padding to 12 digits covers any id the
-# reference handles).
+# under plain string sort; fixed with LENGTH-THEN-VALUE encoding of every
+# digit run — each run is canonicalized (leading zeros stripped) and
+# prefixed with its zero-padded length, so arbitrarily long numbers order
+# correctly (a 13-digit id sorts after every 12-digit id; fixed-width
+# zfill either truncates or mis-sorts past its width).
 
-def natural_sort_key(col: Column, width: int = 12) -> Column:
-    # regexp_replace cannot compute a padded backreference, so tokenize
-    # into digit/non-digit runs and pad the numeric ones.  Digit runs
-    # LONGER than width pass through unpadded: Spark lpad would truncate
-    # them (zfill does not), which made the twins disagree and collided
-    # distinct long ids onto one key.
+_NSK_LEN = 4  # length-field digits: runs up to 10^9999-1 order correctly
+
+
+def natural_sort_key(col: Column) -> Column:
+    # regexp_replace cannot compute a derived replacement, so tokenize
+    # into digit/non-digit runs and rewrite the numeric ones.
     toks = F.regexp_extract_all(col, F.lit("(\\d+|\\D+)"), 1)
+    canon = lambda t: F.regexp_replace(t, "^0+(?=\\d)", "")  # noqa: E731
     return F.array_join(
         F.transform(
             toks,
-            lambda t: F.when(t.rlike("^\\d+$") & (F.length(t) <= width),
-                             F.lpad(t, width, "0"))
+            lambda t: F.when(
+                t.rlike("^\\d+$"),
+                F.concat(F.lpad(F.length(canon(t)).cast("string"),
+                                _NSK_LEN, "0"), canon(t)))
             .otherwise(t),
         ),
         "",
     )
 
 
-def natural_sort_key_py(s: str, width: int = 12) -> str:
-    return re.sub(
-        r"\d+",
-        lambda m: m.group(0).zfill(width)
-        if len(m.group(0)) <= width else m.group(0),
-        s)
+def natural_sort_key_py(s: str) -> str:
+    def enc(m: "re.Match[str]") -> str:
+        v = m.group(0).lstrip("0") or "0"
+        return f"{len(v):0{_NSK_LEN}d}{v}"
+    return re.sub(r"\d+", enc, s)
 
 
 # ---------------------------------------------------------------------------

@@ -170,6 +170,44 @@ def eulaw_celex_uri(parts: dict,
     return uri
 
 
+# ECJ case-number grammar (the reference's euratt.ebnf:
+# SimpleECJCase ::= (Case,Whitespace)?, ECJCaseRef;
+# ECJCaseRef ::= ('C'/'T'/'F'), '-', serial, '/', year).  The committed
+# input files use U+2011 NON-BREAKING HYPHEN ("Case F‑23/07",
+# "Case C‑197/09"), so the hyphen class covers the common dash points.
+_ECJ_RE = re.compile(
+    r"(?:\bCase\s+)?\b([CTF])[-‐‑‒–](\d{1,4})/(\d{2,4})\b")
+
+
+def find_ecj_citations(text: str) -> list[dict]:
+    """All ECJ case references (C-197/09, T-13/99, F-23/07 forms, with
+    or without a leading 'Case'), textual order, as
+    {span, kind, decision, serial, year} dicts
+    (legalref.py:149-151 EURATTSFALL root + euratt.ebnf)."""
+    out = []
+    for m in _ECJ_RE.finditer(text):
+        out.append({"span": m.group(0), "kind": "ecj",
+                    "decision": m.group(1), "serial": m.group(2),
+                    "year": m.group(3), "start": m.start(),
+                    "end": m.end()})
+    return out
+
+
+def ecj_celex_uri(parts: dict,
+                  base: str = "https://lagen.nu/ext/celex/") -> str:
+    """CELEX URI for an ECJ case (legalref.py:1352-1371
+    eurattsfall_format_uri): sector 6, 4-digit year (2-digit pivots at
+    54: <54 -> 20xx else 19xx), descriptor C->J / T->A / F->W, serial
+    zero-padded to 4.  No committed expected outputs exist for the two
+    ECJ input files (VERDICT r02 #6), so the scheme mirrors the eulaw
+    CELEX minting above and is unit-gated."""
+    y = parts["year"]
+    if len(y) == 2:
+        y = ("20" if int(y) < 54 else "19") + y
+    desc = {"C": "J", "T": "A", "F": "W"}[parts["decision"]]
+    return f"{base}6{y}{desc}{int(parts['serial']):04d}"
+
+
 def format_url(d: dict) -> str:
     """Inverse of url_parts: parts dict -> url string (the reference's
     uriformats.url, uriformats.py:28-44; goldens
@@ -237,6 +275,16 @@ def find_citations(text: str,
                     "span": m.group(0), "kind": "url",
                     "url": m.group(0), "rfcnum": None, "secref": None}))
                 taken.append((m.start(), m.end()))
+
+    if "ecj" in grammars:
+        for c in find_ecj_citations(text):
+            # minted CELEX URI travels in the url slot like sfs refs
+            if free(c["start"], c["end"]):
+                spans.append((c["start"], c["end"], {
+                    "span": c["span"], "kind": "ecj",
+                    "url": ecj_celex_uri(c), "rfcnum": None,
+                    "secref": None}))
+                taken.append((c["start"], c["end"]))
 
     spans.sort(key=lambda t: t[0])
     return [d for _, _, d in spans]

@@ -210,6 +210,11 @@ def extract_one(url: str, html: bytes, with_blocks: bool = True) -> dict:
     # the active grammar set is repo config, like the reference's
     # per-DocumentRepository CitationParser (rfc.py:429-451)
     grammars = repo.get("citation_grammars", ("url",))
+    # document-scoped recognizer memory: learned law names ("samma lag",
+    # named-law backrefs) persist across section chunks of ONE document,
+    # like the reference's per-parse LegalRef state — never across
+    # documents (ADVICE r02: latent reset-per-section bug)
+    law_names: dict[str, str] = {}
 
     def _find(chunk: str) -> list[dict]:
         found = find_citations(chunk, grammars)
@@ -219,7 +224,7 @@ def extract_one(url: str, html: bytes, with_blocks: bool = True) -> dict:
             from ferenda_spark.operators.sfs import find_sfs_refs
             found += [{"span": r["span"], "kind": "sfs", "url": r["uri"],
                        "rfcnum": None, "secref": None}
-                      for r in find_sfs_refs(chunk)]
+                      for r in find_sfs_refs(chunk, law_names=law_names)]
         if "svlegal" in grammars:
             from ferenda_spark.operators.svlegal import (
                 find_avg_refs, find_forarbete_refs, find_rattsfall_refs)

@@ -72,6 +72,75 @@ def test_lsh_shuffles_hashed_shingles_not_strings(spark):
     assert "tok" not in sh.columns
 
 
+def test_api_paging_is_engine_side(spark):
+    """The REST-API twin pages with offset/limit (GlobalLimit in the
+    plan) — VERDICT r02 #1: a query matching millions of documents must
+    collect only page_size rows, never the full hit set."""
+    from ferenda_spark.operators import api
+
+    triples = spark.createDataFrame(
+        [(f"http://x/{i}", "p", "o") for i in range(40)],
+        "subj string, pred string, obj string")
+    paged = api._page(api._faceted_pivot(triples, {}).orderBy("subj"),
+                      page=1, page_size=10)
+    plan = plans.explain_str(paged, mode="simple")
+    # either a GlobalLimit or (better) the offset+limit fused into the
+    # sort as a top-K TakeOrderedAndProject
+    assert "GlobalLimit" in plan or "TakeOrderedAndProject" in plan
+    assert len(paged.collect()) == 10
+
+
+def test_api_collects_only_page_sized_results(spark, monkeypatch):
+    """No api function may materialize more rows on the driver than one
+    page (plus per-value facet counts) — catches any regression to the
+    collect-all-then-slice / full-corpus-collect patterns."""
+    # patch the CONCRETE class: in PySpark 4 instances are
+    # pyspark.sql.classic.dataframe.DataFrame, which overrides collect
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from ferenda_spark.operators import api
+
+    triples = spark.createDataFrame(
+        [(f"http://x/{i:03d}", p, o)
+         for i in range(60)
+         for p, o in [(Q.RDF_TYPE, "T"),
+                      ("http://purl.org/dc/terms/title", f"doc {i}"),
+                      ("http://purl.org/dc/terms/issued",
+                       f"20{i % 20:02d}-01-0{1 + i % 9}")]],
+        "subj string, pred string, obj string")
+    texts = spark.createDataFrame(
+        [(f"http://x/{i:03d}", f"body text number {i} with a needle")
+         for i in range(60)], "iri string, text string")
+
+    collected: list[int] = []
+    orig = DataFrame.collect
+
+    def spy(self):
+        rows = orig(self)
+        collected.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", spy)
+    r = api.faceted_query(triples, {}, page_size=10)
+    assert r["totalResults"] == 60 and len(r["items"]) == 10
+    r = api.fulltext_query(triples, texts, "needle", page_size=10)
+    assert r["totalResults"] == 60 and len(r["items"]) == 10
+    fields = [("dcterms_title", "http://purl.org/dc/terms/title", "text"),
+              ("dcterms_issued", "http://purl.org/dc/terms/issued", "date")]
+    r = api.advanced_query(triples, fields, {}, page_size=10)
+    assert r["totalResults"] == 60 and len(r["items"]) == 10
+    assert collected and max(collected) <= 10
+
+
+def test_no_rdd_probe_in_queries():
+    """df.rdd builds the full RDD-conversion plan — banned from the
+    query layer (VERDICT r02 #8)."""
+    import inspect
+
+    src = inspect.getsource(Q)
+    assert ".rdd" not in src
+
+
 def test_fused_triples_single_scan(spark):
     """The fused emission must scan `extracted` once (plus zero joins
     when the dictionary compiles to a literal map)."""

@@ -306,6 +306,38 @@ def test_eglag_legalref_parity(name):
         assert got == want, f"{name}: {got} != {want}"
 
 
+ECJ_DIR = f"{LEGALREF_ROOT}/ECJ"
+
+
+def test_ecj_recognizer_on_committed_inputs():
+    """C6 completion (VERDICT r02 #6): the ECJ case-number recognizer
+    over the reference's two committed input files.  Neither carries a
+    committed expected output, so the gate is the recognized case parts
+    + the CELEX minting rules of legalref.py:1352-1371 (descriptor map
+    C->J/T->A/F->W, 2-digit year pivot at 54, %04d serial)."""
+    from ferenda_spark.operators.citations import (ecj_celex_uri,
+                                                   find_ecj_citations)
+
+    text = open(f"{ECJ_DIR}/civilservicetrib.txt", encoding="utf-8").read()
+    refs = find_ecj_citations(text)
+    assert [(r["decision"], r["serial"], r["year"]) for r in refs] == \
+        [("F", "23", "07")]
+    assert refs[0]["span"].startswith("Case F")
+    assert ecj_celex_uri(refs[0]) == "https://lagen.nu/ext/celex/62007W0023"
+
+    text = open(f"{ECJ_DIR}/simple.txt", encoding="utf-8").read()
+    refs = find_ecj_citations(text)
+    assert [(r["decision"], r["serial"], r["year"]) for r in refs] == \
+        [("C", "197", "09")]
+    assert ecj_celex_uri(refs[0]) == "https://lagen.nu/ext/celex/62009J0197"
+
+    # year pivot (legalref.py:1358-1364) and 4-digit passthrough
+    assert ecj_celex_uri({"decision": "T", "serial": "5", "year": "97"}) \
+        == "https://lagen.nu/ext/celex/61997A0005"
+    assert ecj_celex_uri({"decision": "C", "serial": "12", "year": "2011"}) \
+        == "https://lagen.nu/ext/celex/62011J0012"
+
+
 API_DIR = "/root/reference/test/files/api"
 BASE_DISTILLED = "/root/reference/test/files/base/distilled/123"
 

@@ -1,0 +1,75 @@
+"""Registry contract pins (VERDICT r02 #2): the driver checks exactly
+the first 50 queries() entries, so the registry is capped at 50 and
+every entry must be checkable; queries moved to registry_extra() stay
+oracle-verified HERE (at sf0.001) so nothing is silently unchecked.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pytest
+
+from ferenda_spark import queries as Q
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# declared rows-only entries (no SQL-expressible oracle by design)
+NO_ORACLE = {"kg_pipeline", "multimodal_features"}
+
+
+def test_registry_is_exactly_50():
+    assert len(Q.registry()) == 50
+
+
+def test_every_driver_checked_query_has_an_oracle_or_is_declared():
+    for name in Q.registry():
+        if name not in NO_ORACLE:
+            assert name in Q.ORACLE, f"{name} lacks a DuckDB oracle"
+
+
+def test_no_overlap_between_registry_and_extra():
+    both = set(Q.registry()) & set(Q.registry_extra())
+    assert not both, f"duplicated entries: {both}"
+
+
+def test_every_extra_query_has_an_oracle():
+    for name in Q.registry_extra():
+        assert name in Q.ORACLE, f"extra {name} lacks a DuckDB oracle"
+
+
+def _value_hash(pdf) -> str:
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+
+    def fmt(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            return f"{v:.6g}"
+        return str(v)
+
+    rows = sorted("\x01".join(fmt(v) for v in row)
+                  for row in pdf.itertuples(index=False, name=None))
+    return hashlib.md5("\n".join(rows).encode()).hexdigest()
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="no testdata")
+@pytest.mark.parametrize("name", sorted(Q.registry_extra()))
+def test_extra_query_matches_oracle(spark, name):
+    """The sacrificed-from-the-driver-window queries keep an external
+    check: Spark result == DuckDB oracle at sf0.001 (row count, column
+    set, order-insensitive value hash — the driver's own comparison)."""
+    import duckdb
+
+    spdf = Q.registry_extra()[name](spark, SF_DIR).toPandas()
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    opdf = con.execute(Q.ORACLE[name]).df()
+    assert len(spdf) == len(opdf)
+    assert sorted(spdf.columns) == sorted(opdf.columns)
+    assert _value_hash(spdf) == _value_hash(opdf)

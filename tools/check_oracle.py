@@ -49,7 +49,11 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    qs, oracles = entry.queries(), entry.oracle_sql()
+    from ferenda_spark import queries as Q
+
+    # driver-facing 50 + the locally-gated extras (registry_extra)
+    qs = {**entry.queries(), **Q.registry_extra()}
+    oracles = dict(Q.ORACLE)
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
