@@ -3,17 +3,20 @@ in the multimodal execution pattern: typed binary columns processed by
 Arrow-batched ``mapInPandas`` stages, blobs never shuffled.
 
 - **Word**: format detection by CONTENT (not filename — the reference's
-  committed `mislabeled.doc` fixture is really OOXML), and REAL .docx
+  committed `mislabeled.doc` fixture is really OOXML); REAL .docx
   paragraph extraction with the stdlib (zipfile + ElementTree over
-  word/document.xml w:p/w:t runs) — validated against the reference's
-  own committed fixtures (tests/test_reference_parity.py).  Legacy
-  binary .doc needs antiword (not in this container) -> STUB.
-  (reference: /root/reference/ferenda/wordreader.py)
-- **PDF**: page STRUCTURE is real (page-object count from the xref
-  data), text extraction needs font cmap decoding (pdftotext /
-  pdfminer, not in this container) -> STUB with a deterministic fake in
-  test mode, NotImplementedError in strict mode.
-  (reference: /root/reference/ferenda/pdfreader.py:29-916)
+  word/document.xml w:p/w:t runs) AND real legacy .doc extraction via
+  the from-scratch [MS-CFB]/[MS-DOC] reader (operators/olereader.py,
+  VERDICT r02 #7) — both validated against the reference's committed
+  fixtures.  (reference: /root/reference/ferenda/wordreader.py)
+- **PDF**: REAL text extraction (operators/pdftext.py, VERDICT r02
+  #4): Flate/LZW content streams, ToUnicode CMaps, /Differences
+  encodings incl. the reference's OffsetDecoder1d custom-encoding
+  contract — validated against the committed pdfreader fixtures.
+  Scanned image-only pages yield empty text (the reference OCRs those
+  via tesseract — out of scope here); encrypted inputs quarantine.
+  (reference: /root/reference/ferenda/pdfreader.py:29-916,
+  sources/legal/se/decoders.py)
 
 Scale notes mirror operators/multimodal.py: derive text/metadata in the
 narrow map, join by key later; size Arrow batches by bytes.
@@ -21,7 +24,6 @@ narrow map, join by key later; size Arrow batches by bytes.
 
 from __future__ import annotations
 
-import hashlib
 import re
 import xml.etree.ElementTree as ET
 import zipfile
@@ -31,8 +33,6 @@ from io import BytesIO
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
-
-STRICT = False
 
 _W = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
 _OLE_MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
@@ -62,12 +62,11 @@ def docx_paragraphs(payload: bytes) -> list[str]:
 
 
 def doc_paragraphs(payload: bytes) -> list[str]:
-    """Legacy .doc -> paragraphs.  STUB: antiword is not available in
-    this container; deterministic fake keyed on content in test mode."""
-    if STRICT:
-        raise NotImplementedError("legacy .doc requires antiword")
-    h = hashlib.sha1(payload).hexdigest()
-    return [f"[doc-stub {h[:12]} paragraph {i}]" for i in range(3)]
+    """Legacy .doc -> paragraphs.  REAL extraction via the OLE2 +
+    Word-97 piece-table reader (olereader.py); raises on non-Word OLE
+    input (caller quarantines)."""
+    from ferenda_spark.operators.olereader import doc_paragraphs_real
+    return doc_paragraphs_real(payload)
 
 
 _PDF_PAGE_RE = re.compile(rb"/Type\s*/Page(?![s/\w])")
@@ -93,13 +92,12 @@ def pdf_page_count(payload: bytes) -> int:
 
 
 def pdf_text_pages(payload: bytes) -> list[str]:
-    """Per-page text.  The page SPLIT is real (pdf_page_count); the
-    glyph decoding is stubbed (needs font cmaps -> pdftotext)."""
-    n = pdf_page_count(payload)
-    if STRICT:
-        raise NotImplementedError("pdf text extraction requires pdftotext")
-    h = hashlib.sha1(payload).hexdigest()
-    return [f"[pdf-stub {h[:12]} page {i + 1}]" for i in range(n)]
+    """Per-page text — REAL extraction (pdftext.py: content-stream
+    Tj/TJ decode through ToUnicode CMaps / Differences / OffsetDecoder1d
+    custom encodings).  Raises on encrypted pdfs (caller quarantines);
+    image-only (scanned) pages yield '' like pdftotext without OCR."""
+    from ferenda_spark.operators.pdftext import extract_pdf_pages
+    return extract_pdf_pages(payload)
 
 
 # ---------------------------------------------------------------------------
