@@ -92,11 +92,171 @@ class _TreeBuilder(HTMLParser):
     # elements_from_soup's bs4.element.Comment skip (elements/html.py:60-62)
 
 
-def parse_html(text: str) -> Node:
+def parse_html_stdlib(text: str) -> Node:
+    """html.parser-backed tree builder — the behavioral reference twin
+    for parse_html (differential-tested in tests/test_htmlparse.py);
+    ~2.5x slower than the regex tokenizer below, kept out of the hot
+    path."""
     p = _TreeBuilder()
     p.feed(text)
     p.close()
     return p.root
+
+
+# Fast regex tokenizer (VERDICT r02 #3): tokenizing was ~40% of the
+# extract kernel's time under html.parser (its per-char goahead loop +
+# updatepos bookkeeping).  This single-regex scan reproduces the
+# OBSERVABLE html.parser semantics the tree builder consumes:
+# - charrefs converted in data segments (one data child per inter-tag
+#   run, like convert_charrefs=True) and in attribute values;
+# - script/style switch to CDATA mode: raw text (no charref
+#   conversion) until </\s*tag\s*> case-insensitive (parser.py:124);
+# - tag/attr names lowercased, unquoted/quoted attr values, valueless
+#   attrs -> "" (tree-builder policy), self-closing <x/> not pushed;
+# - comments, declarations, CDATA sections and PIs dropped;
+# - a '<' that opens no construct is literal text (own child, like
+#   parser.py's bogus-'<' path).
+
+_TOKEN_RE = re.compile(r"""<(?:
+    !--(?P<comment>.*?)--\s*>   # html.parser closes on '--\s*>'
+  | !\[CDATA\[(?P<cdata>.*?)\]\]>
+  | !(?!--)(?P<decl>[^>]*)>   # '<!--' w/o '-->' must NOT match as decl
+  | \?(?P<pi>[^>]*)>
+  | /\s*(?P<end>[a-zA-Z][-.a-zA-Z0-9:_]*)[^>]*>
+  | (?P<start>[a-zA-Z][^\t\n\r\f\ />\x00]*)
+    (?P<attrs>(?:"[^"]*"|'[^']*'|[^"'>])*)>
+)""", re.S | re.X)
+
+# html.parser's attrfind_tolerant (parser.py): name = any run not
+# containing whitespace / '/' / '>' ('=' allowed past the first char),
+# preceded by a quote/space/slash delimiter; '=+' tolerated; unquoted
+# values run to whitespace or '>'
+_ATTR_RE = re.compile(
+    r"""((?<=['"\s/])[^\s/>][^\s/=>]*)"""
+    r"""(?:\s*=+\s*('[^']*'|"[^"]*"|(?!['"])[^>\s]*))?""")
+
+_HAS_AMP_RE = re.compile("&")
+
+
+class _CdataEnd:
+    """Cached per-tag </tag> matchers for script/style raw text."""
+    _cache: dict[str, re.Pattern] = {}
+
+    @classmethod
+    def get(cls, tag: str) -> re.Pattern:
+        p = cls._cache.get(tag)
+        if p is None:
+            p = re.compile(r"</\s*%s\s*>" % tag, re.I)
+            cls._cache[tag] = p
+        return p
+
+
+def parse_html(text: str) -> Node:
+    from html import unescape
+
+    root = Node("#document")
+    stack = [root]
+    pos, n = 0, len(text)
+    find_lt = text.find
+    while pos < n:
+        lt = find_lt("<", pos)
+        if lt < 0:
+            data = text[pos:]
+            if data:
+                if _HAS_AMP_RE.search(data):
+                    data = unescape(data)
+                stack[-1].children.append(data)
+            break
+        m = _TOKEN_RE.match(text, lt)
+        if lt > pos:
+            data = text[pos:lt]
+            if _HAS_AMP_RE.search(data):
+                data = unescape(data)
+            stack[-1].children.append(data)
+        if m is None:
+            nxt = text[lt + 1:lt + 2]
+            if not nxt or not ("a" <= nxt <= "z" or "A" <= nxt <= "Z"
+                               or nxt in "!/?"):
+                # '<' that opens no construct: literal text, own child
+                # (html.parser's bogus-'<' path)
+                stack[-1].children.append("<")
+                pos = lt + 1
+                continue
+            if text.startswith("</>", lt):
+                pos = lt + 3        # consumed silently (end-tag-open)
+                continue
+            if nxt == "/":
+                c2 = text[lt + 2:lt + 3]
+                if not ("a" <= c2 <= "z" or "A" <= c2 <= "Z"):
+                    k = text.find(">", lt + 2)
+                    if k >= 0:      # bogus comment: dropped
+                        pos = k + 1
+                        continue
+            # construct opened but never completed (html.parser's
+            # close-time recovery): data through the next '>', else up
+            # to the next '<', else just past this '<'
+            k = text.find(">", lt + 1)
+            if k < 0:
+                k = text.find("<", lt + 1)
+                k = lt + 1 if k < 0 else k
+            else:
+                k += 1
+            data = text[lt:k]
+            if _HAS_AMP_RE.search(data):
+                data = unescape(data)
+            stack[-1].children.append(data)
+            pos = k
+            continue
+        pos = m.end()
+        tag = m.group("start")
+        if tag is not None:
+            tag = tag.lower()
+            rawattrs = m.group("attrs")
+            attrs = {}
+            if rawattrs:
+                last_end = 0
+                for am in _ATTR_RE.finditer(rawattrs):
+                    k = am.group(1).lower()
+                    v = am.group(2)
+                    if v is None:
+                        v = ""
+                    elif v[:1] in "\"'" and v[:1] == v[-1:]:
+                        v = v[1:-1]
+                    if "&" in v:
+                        v = unescape(v)
+                    attrs[k] = v     # duplicate attr: last wins, like
+                    #                  the dict-of-attrs tree policy
+                    last_end = am.end()
+                # self-closing only when the trailing '/' is NOT part
+                # of an unquoted attribute value (html.parser decides
+                # by the char after the parsed attrs)
+                selfclose = (rawattrs.endswith("/")
+                             and last_end < len(rawattrs))
+            else:
+                selfclose = False
+            node = Node(tag, attrs)
+            stack[-1].children.append(node)
+            if selfclose or tag in _VOID:
+                continue
+            if tag in ("script", "style"):
+                em = _CdataEnd.get(tag).search(text, pos)
+                if em is None:
+                    pos = n      # unclosed cdata: dropped, like
+                    continue     # html.parser's incomplete-cdata break
+                raw = text[pos:em.start()]
+                pos = em.end()
+                if raw:
+                    node.children.append(raw)   # no charref conversion
+                continue
+            stack.append(node)
+        elif (tag := m.group("end")) is not None:
+            tag = tag.lower()
+            for i in range(len(stack) - 1, 0, -1):
+                if stack[i].tag == tag:
+                    del stack[i:]
+                    break
+        # comment / decl / cdata / pi: dropped
+    return root
 
 
 # --------------------------------------------------------------------------

@@ -73,3 +73,97 @@ def test_head_meta_property_pairs():
         '<meta name="k" content="v"><meta charset="utf-8"></head></html>'
     )
     assert hp.head_meta(tree) == {"dcterms:issued": "2014-01-01", "k": "v"}
+
+
+# ---------------------------------------------------------------------------
+# fast-tokenizer vs html.parser differential gate (VERDICT r02 #3: the
+# regex tokenizer replaced html.parser in the hot path at ~2.3x kernel
+# speedup; parse_html_stdlib remains the behavioral reference twin)
+
+def _tree_diff(a, b, path="/"):
+    if a.tag != b.tag or a.attrs != b.attrs:
+        return f"{path}: {a.tag}{a.attrs} != {b.tag}{b.attrs}"
+    if len(a.children) != len(b.children):
+        return f"{path}: child count {len(a.children)}!={len(b.children)}"
+    for i, (x, y) in enumerate(zip(a.children, b.children)):
+        if isinstance(x, str) != isinstance(y, str):
+            return f"{path}[{i}]: node kind"
+        if isinstance(x, str):
+            if x != y:
+                return f"{path}[{i}]: {x[:40]!r} != {y[:40]!r}"
+        else:
+            if (r := _tree_diff(x, y, f"{path}{x.tag}[{i}]/")):
+                return r
+    return None
+
+
+def test_fast_parser_matches_stdlib_on_fixture_corpus():
+    from ferenda_spark.fixtures.webpages import gen_rows
+    for r in gen_rows(120):
+        text = hp.decode_html(r["html"])
+        assert _tree_diff(hp.parse_html_stdlib(text),
+                          hp.parse_html(text)) is None
+
+
+def test_fast_parser_matches_stdlib_on_reference_files():
+    import glob
+    import os
+    files = sorted(
+        glob.glob("/root/reference/test/files/**/*.html", recursive=True)
+    )[:60] + sorted(
+        glob.glob("/root/reference/test/files/**/*.xhtml", recursive=True)
+    )[:60]
+    if not files:
+        import pytest
+        pytest.skip("reference files not available")
+    for f in files:
+        if not os.path.isfile(f):
+            continue
+        text = hp.decode_html(open(f, "rb").read())
+        assert _tree_diff(hp.parse_html_stdlib(text),
+                          hp.parse_html(text)) is None, f
+
+
+def test_fast_parser_matches_stdlib_on_edge_cases():
+    cases = [
+        "a &lt; b &amp; c &#65; &#x42; &nbsp; &unknown; d",
+        "x < y and <3 hearts",
+        "<p>a<!-- comment -->b</p>",
+        "<script>var x = 1 &lt; 2; if (a<b) {}</script>after",
+        "<SCRIPT>x</SCRIPT>tail", "<script>no close",
+        "<style>p > a { color: red }</style>",
+        "<p class='a b' id=\"z\" data-x=5 disabled>text</p>",
+        "<img src=x.png alt='a&amp;b'/>",
+        "<a href=http://x/y?a=1&b=2>link</a>",
+        "<p>unclosed <b>bold <i>it</p><p>next</p>",
+        "<!DOCTYPE html><html><body>hi</body></html>",
+        "<?xml version='1.0'?><p>x</p>",
+        "<![CDATA[ raw <stuff> ]]><p>y</p>",
+        "<br><BR/><hr >", "<p>trailing text",
+        "< p>not a tag</ p>", "<p>a</P>b", "<div><p>1</div>2",
+        "text&#160;nbsp", "<p title=\"multi\nline\">x</p>",
+        "<a b=c d>e</a>", "tag soup </b> stray end",
+        "<x-custom foo=bar>inside</x-custom>",
+        "<p>&amp;&amp;&AMP;</p>", "<script src='x'/>not raw",
+        "nested <!-- <p>inside comment</p> --> out",
+        "<!-->", "=a<!--", "<p<p>>",
+    ]
+    for c in cases:
+        assert _tree_diff(hp.parse_html_stdlib(c),
+                          hp.parse_html(c)) is None, repr(c)
+
+
+def test_fast_parser_matches_stdlib_on_fuzz_soup():
+    """Seeded token-soup fuzz.  Inputs with mismatched quote chars are
+    excluded: html.parser's quote-insensitive start-tag scan diverges
+    there by design (documented in htmlparse.py) and no two real
+    parsers agree on such input either."""
+    import random
+    rng = random.Random(7)
+    alphabet = list("<>/= abc&;#!-?p") + [
+        "<p", "</p>", "&amp;", "<!--", "-->", "<script>", "</script>"]
+    for _ in range(800):
+        t = "".join(rng.choice(alphabet)
+                    for _ in range(rng.randint(1, 80)))
+        assert _tree_diff(hp.parse_html_stdlib(t),
+                          hp.parse_html(t)) is None, repr(t)
