@@ -209,6 +209,9 @@ def run(
             entries_path)
 
     return RunResult(
+        # input cardinality: a parquet/Iceberg count() is answered from
+        # file-footer / snapshot statistics (no data scan); on Iceberg
+        # this is snapshot.summary["total-records"]
         n_pages=web_pages.count(),
         n_extracted=n_extracted,
         n_triples=n_triples,
