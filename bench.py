@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "dedup_simhash_band_pairs",
     "dedup_ngram_jaccard",
+    "dedup_clusters",
     "dedup_embedding_cosine",
     "ann_cosine_topk",
     "ann_ivf_topk",

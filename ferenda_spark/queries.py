@@ -400,6 +400,54 @@ def q_dedup_simhash_band_pairs(spark, sf_dir):
             .select("doc_a", "doc_b", hamming.alias("hamming")))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-duplicate CLUSTERS: connected components over the LSH
+    candidate-pair graph (HashMin label propagation — the standard
+    Pregel-style CC on DataFrames: each round every node takes the min
+    label in its closed neighborhood; rounds double the propagation
+    radius via the symmetrized edge set, converging in O(diameter)
+    rounds, checked by a per-round change count).  One shuffle pair per
+    round; the edge set is the banded LSH candidates, never all-pairs —
+    at 10^9 docs this is the dedup-group materialization step after
+    candidate generation.
+
+    Output: (doc_id, cluster_id) with cluster_id = min doc_id of the
+    component; singletons keep their own id."""
+    # materialize + TRUNCATE LINEAGE at every iteration boundary
+    # (localCheckpoint): without it the logical plan doubles per round
+    # and planning time dwarfs execution — the standard Spark iterative-
+    # algorithm discipline (same as operators/kmeans.py)
+    pairs = (q_dedup_lsh_pairs(spark, sf_dir)
+             .select("doc_a", "doc_b").localCheckpoint())
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    # symmetric closed-neighborhood edges (self-loops keep isolated
+    # nodes and make min-propagation monotone)
+    edges = (pairs.selectExpr("doc_a AS src", "doc_b AS dst")
+             .unionByName(pairs.selectExpr("doc_b AS src",
+                                           "doc_a AS dst"))
+             .unionByName(d.selectExpr("doc_id AS src",
+                                       "doc_id AS dst"))
+             .localCheckpoint())
+    labels = d.select("doc_id", F.col("doc_id").alias("label")) \
+              .localCheckpoint()
+    for _ in range(32):                       # diameter bound; breaks early
+        prop = (edges.join(labels, edges.dst == labels.doc_id)
+                .groupBy("src")
+                .agg(F.min("label").alias("new_label")))
+        joined = (labels.withColumnRenamed("label", "old")
+                  .join(prop, labels.doc_id == prop.src)
+                  .select("doc_id",
+                          F.least("old", "new_label").alias("label"),
+                          "old")
+                  .localCheckpoint())        # one materialization/round
+        changed = joined.where(F.col("label") != F.col("old")).count()
+        labels = joined.select("doc_id", "label")
+        if changed == 0:
+            break
+    return labels.select("doc_id",
+                         F.col("label").cast("long").alias("cluster_id"))
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k ANN baseline: 5 query vectors vs all."""
     e = (_read(spark, sf_dir, "embeddings")
@@ -1412,8 +1460,7 @@ _band_sql = " UNION ALL ".join(
     f"md5(mh{2*b}::VARCHAR || '-' || mh{2*b+1}::VARCHAR) AS bkey FROM sig"
     for b in range(4))
 
-ORACLE["dedup_lsh_pairs"] = f"""
-WITH {_SHINGLES_CTE.strip()},
+_LSH_PAIRS_CTES = f"""{_SHINGLES_CTE.strip()},
 {_SHH_CTE},
 {_HP_CTE},
 sig AS (SELECT doc_id, {_mh_cols_sql} FROM shp GROUP BY doc_id),
@@ -1426,13 +1473,31 @@ inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
           FROM cand c
           JOIN shh x ON x.doc_id = c.doc_a
           JOIN shh y ON y.doc_id = c.doc_b AND y.h = x.h
-          GROUP BY 1, 2)
-SELECT i.doc_a, i.doc_b,
-       round(i.inter * 1.0 / (sa.n + sb.n - i.inter), 4) AS jaccard
-FROM inter i
-JOIN sizes sa ON sa.doc_id = i.doc_a
-JOIN sizes sb ON sb.doc_id = i.doc_b
-WHERE round(i.inter * 1.0 / (sa.n + sb.n - i.inter), 4) >= 0.05
+          GROUP BY 1, 2),
+lsh_pairs AS (
+  SELECT i.doc_a, i.doc_b,
+         round(i.inter * 1.0 / (sa.n + sb.n - i.inter), 4) AS jaccard
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE round(i.inter * 1.0 / (sa.n + sb.n - i.inter), 4) >= 0.05)"""
+
+ORACLE["dedup_lsh_pairs"] = f"""
+WITH {_LSH_PAIRS_CTES}
+SELECT doc_a, doc_b, jaccard FROM lsh_pairs
+"""
+
+ORACLE["dedup_clusters"] = f"""
+WITH RECURSIVE {_LSH_PAIRS_CTES},
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
+          UNION SELECT doc_b, doc_a FROM lsh_pairs),
+reach(doc, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.doc = e.dst
+)
+SELECT doc AS doc_id, min(lab)::BIGINT AS cluster_id
+FROM reach GROUP BY doc
 """
 
 _sim_bits_sql = ", ".join(
@@ -2168,6 +2233,9 @@ def registry_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     anchors (not SURVEY §2 operators).  tests/test_registry.py runs
     each against its DuckDB oracle at sf0.001 so they stay verified:
 
+    - dedup_clusters: near-dup connected components over the
+      driver-checked dedup_lsh_pairs edge set (iterative; its oracle is
+      a recursive CTE)
     - facet_year_selector: A3 twin (facet_toc_pagesets is the
       driver-checked A3 row)
     - kg_set_intersect: §2.6 set-ops twin of kg_set_diff
@@ -2176,6 +2244,7 @@ def registry_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       streaming_hourly_windows (stream/batch parity twin)
     """
     return {
+        "dedup_clusters": q_dedup_clusters,
         "facet_year_selector": q_facet_year_selector,
         "kg_set_intersect": q_kg_set_intersect,
         "entity_link_fuzzy": q_entity_link_fuzzy,
