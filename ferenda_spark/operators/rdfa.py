@@ -42,12 +42,17 @@ def extract_rdfa(xhtml: bytes | str) -> list[dict]:
                     "obj_is_uri": is_uri, "obj_lang": lang,
                     "obj_datatype": expand(datatype) if datatype else None})
 
-    def walk(node, scope):
+    def walk(node, scope, lang):
         if not isinstance(node, hp.Node):
             return
         about = node.attrs.get("about")
         if about:
             scope = about
+        # element-level xml:lang inheritance; xml:lang="" resets to
+        # no-language (RDFa/XML spec) — the committed fixtures only
+        # carry the root declaration, which this generalizes
+        if "xml:lang" in node.attrs:
+            lang = node.attrs["xml:lang"] or None
         prop = node.attrs.get("property")
         rel = node.attrs.get("rel")
         if scope and rel and "href" in node.attrs:
@@ -60,9 +65,9 @@ def extract_rdfa(xhtml: bytes | str) -> list[dict]:
                 value = "".join(c for c in node.children
                                 if isinstance(c, str))
             emit(scope, prop, value,
-                 lang=None if dtype else doc_lang, datatype=dtype)
+                 lang=None if dtype else lang, datatype=dtype)
         for c in node.children:
-            walk(c, scope)
+            walk(c, scope, lang)
 
-    walk(tree, None)
+    walk(tree, None, doc_lang)
     return out

@@ -448,6 +448,56 @@ def q_dedup_clusters(spark, sf_dir):
                          F.col("label").cast("long").alias("cluster_id"))
 
 
+def _site_triples(spark, sf_dir) -> DataFrame:
+    """Synthetic per-doc title/issued triples for the S12 site queries
+    (deterministic from doc_id so the DuckDB oracle reproduces them)."""
+    d = _read(spark, sf_dir, "documents")
+    subj = F.concat(F.lit(BASE + "res/"), "source", F.lit("/"),
+                    F.col("doc_id").cast("string"))
+    issued = F.concat((2010 + F.col("doc_id") % 8).cast("string"),
+                      F.lit("-"),
+                      F.lpad((F.col("doc_id") % 12 + 1).cast("string"),
+                             2, "0"),
+                      F.lit("-"),
+                      F.lpad((F.col("doc_id") % 28 + 1).cast("string"),
+                             2, "0"))
+    title = F.concat(F.lit("Doc "), F.col("doc_id").cast("string"))
+    t1 = d.select(subj.alias("subj"), F.lit(DCT + "title").alias("pred"),
+                  title.alias("obj"))
+    t2 = d.select(subj.alias("subj"), F.lit(DCT + "issued").alias("pred"),
+                  issued.alias("obj"))
+    return t1.unionByName(t2)
+
+
+_SITE_TRIPLES_CTE = f"""
+site AS (
+  SELECT '{BASE}res/' || source || '/' || doc_id::VARCHAR AS subj,
+         '{DCT}title' AS pred, 'Doc ' || doc_id::VARCHAR AS obj
+  FROM documents
+  UNION ALL
+  SELECT '{BASE}res/' || source || '/' || doc_id::VARCHAR,
+         '{DCT}issued',
+         (2010 + doc_id % 8)::VARCHAR || '-' ||
+         lpad((doc_id % 12 + 1)::VARCHAR, 2, '0') || '-' ||
+         lpad((doc_id % 28 + 1)::VARCHAR, 2, '0')
+  FROM documents)
+"""
+
+
+def q_site_toc_pages(spark, sf_dir):
+    """S12 static-site TOC pages (operators/render.toc_pages): per-
+    issued-year html page, pure columnar group-concat."""
+    from ferenda_spark.operators.render import toc_pages
+    return toc_pages(_site_triples(spark, sf_dir))
+
+
+def q_site_feed_pages(spark, sf_dir):
+    """S12/A6 static-site Atom feed pages (operators/render.feed_pages):
+    issued-desc global order via the two-pass rank, 25 entries/page."""
+    from ferenda_spark.operators.render import feed_pages
+    return feed_pages(_site_triples(spark, sf_dir))
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k ANN baseline: 5 query vectors vs all."""
     e = (_read(spark, sf_dir, "embeddings")
@@ -1706,6 +1756,50 @@ FROM c
 
 _SV_MONTHS_SQL = ", ".join(f"({i + 1},'{m}')" for i, m in enumerate(_SV_MONTHS))
 
+ORACLE["site_toc_pages"] = f"""
+WITH {_SITE_TRIPLES_CTE.strip()},
+docs AS (
+  SELECT subj,
+         max(CASE WHEN pred = '{DCT}title' THEN obj END) AS title,
+         max(CASE WHEN pred = '{DCT}issued' THEN obj END) AS issued
+  FROM site GROUP BY subj),
+items AS (
+  SELECT substr(issued, 1, 4) AS year,
+         '<li><a href="' || subj || '">' || title || '</a></li>' AS item
+  FROM docs WHERE issued IS NOT NULL)
+SELECT 'toc/issued/' || year || '.html' AS path,
+       count(*)::BIGINT AS n_docs,
+       '<html><body><h1>Documents ' || year || '</h1>' || chr(10) ||
+       '<ul>' || chr(10) ||
+       string_agg(item, chr(10) ORDER BY item) || chr(10) ||
+       '</ul></body></html>' AS content
+FROM items GROUP BY year
+"""
+
+ORACLE["site_feed_pages"] = f"""
+WITH {_SITE_TRIPLES_CTE.strip()},
+docs AS (
+  SELECT subj,
+         max(CASE WHEN pred = '{DCT}title' THEN obj END) AS title,
+         max(CASE WHEN pred = '{DCT}issued' THEN obj END) AS issued
+  FROM site GROUP BY subj),
+ranked AS (
+  SELECT subj, title, issued,
+         row_number() OVER (ORDER BY issued DESC, subj ASC) AS rn
+  FROM docs WHERE issued IS NOT NULL),
+entries AS (
+  SELECT (rn - 1) // 25 AS page, rn,
+         '<entry><id>' || subj || '</id><title>' || title ||
+         '</title><updated>' || issued || '</updated></entry>' AS e
+  FROM ranked)
+SELECT 'feed/page' || page::VARCHAR || '.atom' AS path,
+       count(*)::BIGINT AS n_docs,
+       '<feed xmlns="http://www.w3.org/2005/Atom">' || chr(10) ||
+       string_agg(e, chr(10) ORDER BY rn) || chr(10) || '</feed>'
+         AS content
+FROM entries GROUP BY page
+"""
+
 ORACLE["citations_ecj"] = """
 WITH t AS (
   SELECT doc_id,
@@ -2236,6 +2330,8 @@ def registry_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     - dedup_clusters: near-dup connected components over the
       driver-checked dedup_lsh_pairs edge set (iterative; its oracle is
       a recursive CTE)
+    - site_toc_pages / site_feed_pages: S12 static-site TOC html +
+      Atom feed pages (operators/render.py), group-concat oracles
     - facet_year_selector: A3 twin (facet_toc_pagesets is the
       driver-checked A3 row)
     - kg_set_intersect: §2.6 set-ops twin of kg_set_diff
@@ -2245,6 +2341,8 @@ def registry_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         "dedup_clusters": q_dedup_clusters,
+        "site_toc_pages": q_site_toc_pages,
+        "site_feed_pages": q_site_feed_pages,
         "facet_year_selector": q_facet_year_selector,
         "kg_set_intersect": q_kg_set_intersect,
         "entity_link_fuzzy": q_entity_link_fuzzy,
