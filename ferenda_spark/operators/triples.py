@@ -422,8 +422,15 @@ def fused_scalar_triples(extracted: DataFrame,
 
     allt = F.concat(F.array(*fixed), creators, rights, updates, obsoletes,
                     sections, citations, *(extra_structs or []))
+    # Set semantics WITHOUT a shuffle: duplicates can only occur within
+    # one document (subjects embed the per-url doc_uri), and a doc's
+    # triples are all born in this one array — so array_distinct before
+    # the explode IS the global distinct.  Full-struct equality is the
+    # RDF-correct key (a URI object and an equal-string literal are
+    # different triples); the former dropDuplicates over the exploded
+    # rows shuffled the entire triple log for the same result.
     return (
-        e.select("url", F.explode(allt).alias("t"))
+        e.select("url", F.explode(F.array_distinct(allt)).alias("t"))
         .where(F.col("t.obj").isNotNull())
         .select("url", "t.subj", "t.pred", "t.obj", "t.obj_is_uri",
                 "t.obj_lang", "t.obj_datatype")
@@ -468,7 +475,8 @@ def _label_link_structs(commondata_rows: list[dict]):
 
 def all_triples(extracted: DataFrame, commondata: DataFrame) -> DataFrame:
     """The full distilled graph; set semantics (reference distilled
-    graphs are triple SETS) via one final dropDuplicates.
+    graphs are triple SETS) — shuffle-free in the fused branch (per-
+    document array_distinct), one dedup shuffle in the join branch.
 
     Strategy: when the entity dictionary is small enough to collect
     (it is config-scale data in the reference — res/extra/*.ttl), the
@@ -481,10 +489,13 @@ def all_triples(extracted: DataFrame, commondata: DataFrame) -> DataFrame:
         dict_rows = [r.asDict() for r in commondata.collect()]
 
     if dict_rows is not None:
-        fused = fused_scalar_triples(extracted,
-                                     extra_structs=_label_link_structs(dict_rows))
-        return fused.dropDuplicates(["url", "subj", "pred", "obj",
-                                     "obj_lang", "obj_datatype"])
+        # fused_scalar_triples already enforces set semantics per
+        # document via pre-explode array_distinct — no dedup shuffle
+        return fused_scalar_triples(
+            extracted, extra_structs=_label_link_structs(dict_rows))
+    # join-branch: label_link rows come from a second scan, so the
+    # cross-source dedup still needs the shuffle (non-bench path,
+    # dictionaries too big to compile into the fused expression)
     return (
         fused_scalar_triples(extracted)
         .unionByName(label_link_triples(extracted, commondata))

@@ -150,5 +150,7 @@ def test_fused_triples_single_scan(spark):
     t = all_triples(extract(web_pages_df(spark, 5)), commondata_df(spark))
     plan = plans.explain_str(t, mode="simple")
     assert "BroadcastHashJoin" not in plan      # literal map, not a join
-    # exactly one shuffle: the final set-dedup
-    assert plans.shuffle_exchange_count(t) == 1
+    # ZERO shuffles: set-dedup happens per document via pre-explode
+    # array_distinct (dupes are impossible across documents), so the
+    # whole lift is one narrow map stage
+    assert plans.shuffle_exchange_count(t) == 0
