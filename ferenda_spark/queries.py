@@ -277,16 +277,16 @@ def q_dedup_lsh_pairs(spark, sf_dir, n_perms: int = _N_MINHASH,
     assert bands * rows_per_band <= n_perms <= len(_MH_A)
     sh = _hashed_shingles_df(spark, sf_dir).persist()
     sig = sh.groupBy("doc_id").agg(*_minhash_aggs(n_perms)).persist()
-    band_frames = []
-    for b in range(bands):
-        key = F.md5(F.concat_ws("-", *[
-            F.col(f"mh{rows_per_band * b + r}").cast("string")
-            for r in range(rows_per_band)]))
-        band_frames.append(sig.select("doc_id", F.lit(b).alias("band"),
-                                      key.alias("bkey")))
-    bb = band_frames[0]
-    for x in band_frames[1:]:
-        bb = bb.unionByName(x)
+    # all band keys in ONE scan of the signature table (explode of a
+    # literal struct array), not a bands-way union of scans
+    band_structs = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.md5(F.concat_ws("-", *[
+                     F.col(f"mh{rows_per_band * b + r}").cast("string")
+                     for r in range(rows_per_band)])).alias("bkey"))
+        for b in range(bands)])
+    bb = (sig.select("doc_id", F.explode(band_structs).alias("bk"))
+          .select("doc_id", "bk.band", "bk.bkey"))
     cand = (bb.alias("a").join(
         bb.alias("b"),
         (F.col("a.band") == F.col("b.band"))
@@ -373,12 +373,13 @@ def q_dedup_simhash_band_pairs(spark, sf_dir):
     band join is what scales this to 10^9 docs), with the exact Hamming
     distance computed per candidate from the band xors."""
     sim = _simhash_bands(spark, sf_dir).persist()
-    band_frames = [sim.select("doc_id", F.lit(j).alias("band"),
-                              F.col(f"b{j}").alias("bkey"))
-                   for j in range(_SIMHASH_BANDS)]
-    bb = band_frames[0]
-    for x in band_frames[1:]:
-        bb = bb.unionByName(x)
+    # one scan of the simhash table for all band keys (explode), not a
+    # 4-way union of scans
+    band_structs = F.array(*[
+        F.struct(F.lit(j).alias("band"), F.col(f"b{j}").alias("bkey"))
+        for j in range(_SIMHASH_BANDS)])
+    bb = (sim.select("doc_id", F.explode(band_structs).alias("bk"))
+          .select("doc_id", "bk.band", "bk.bkey"))
     cand = (bb.alias("a").join(
         bb.alias("b"),
         (F.col("a.band") == F.col("b.band"))
@@ -402,12 +403,11 @@ def q_dedup_simhash_band_pairs(spark, sf_dir):
 
 def q_dedup_clusters(spark, sf_dir):
     """Near-duplicate CLUSTERS: connected components over the LSH
-    candidate-pair graph (HashMin label propagation — the standard
-    Pregel-style CC on DataFrames: each round every node takes the min
-    label in its closed neighborhood; rounds double the propagation
-    radius via the symmetrized edge set, converging in O(diameter)
-    rounds, checked by a per-round change count).  One shuffle pair per
-    round; the edge set is the banded LSH candidates, never all-pairs —
+    candidate-pair graph (HashMin label propagation — each step every
+    node takes the min label in its closed neighborhood; two hops per
+    materialization round, converging in O(diameter) steps, checked by
+    a per-round change count).  The edge set is the banded LSH
+    candidates, never all-pairs —
     at 10^9 docs this is the dedup-group materialization step after
     candidate generation.
 
@@ -430,15 +430,23 @@ def q_dedup_clusters(spark, sf_dir):
              .localCheckpoint())
     labels = d.select("doc_id", F.col("doc_id").alias("label")) \
               .localCheckpoint()
-    for _ in range(32):                       # diameter bound; breaks early
-        prop = (edges.join(labels, edges.dst == labels.doc_id)
+    def _hop(lbl):
+        prop = (edges.join(lbl, edges.dst == lbl.doc_id)
                 .groupBy("src")
                 .agg(F.min("label").alias("new_label")))
-        joined = (labels.withColumnRenamed("label", "old")
-                  .join(prop, labels.doc_id == prop.src)
-                  .select("doc_id",
-                          F.least("old", "new_label").alias("label"),
-                          "old")
+        return (lbl.join(prop, lbl.doc_id == prop.src)
+                .select("doc_id",
+                        F.least("label", "new_label").alias("label")))
+
+    for _ in range(16):                       # diameter/2 bound
+        # TWO hops per materialization round: same shuffle work as two
+        # single-hop rounds, half the checkpoint/action overhead.
+        # (A pointer-jumping variant converges in fewer rounds but the
+        # larger per-round plan costs more in codegen than it saves —
+        # measured; at 10^9 docs revisit with persisted label tables.)
+        old = labels.withColumnRenamed("label", "old")
+        joined = (_hop(_hop(labels))
+                  .join(old, "doc_id")
                   .localCheckpoint())        # one materialization/round
         changed = joined.where(F.col("label") != F.col("old")).count()
         labels = joined.select("doc_id", "label")
