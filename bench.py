@@ -189,11 +189,19 @@ def main():
                       shuffle_partitions=max(CPUS, 8))
     reg = {**Q.registry(), **Q.registry_extra()}
     _noop_write(reg["kg_triples_lift"](spark, SF_DIR))  # JVM/scan warmup
+    # best-of-2 per query: the first run pays Catalyst/codegen compile
+    # and python-worker spin-up, the second measures steady state — the
+    # same warm-run protocol as the kg job's best-of-3 (BASELINE.md §3);
+    # single-shot numbers on this shared VM vary ~2x with hypervisor
+    # steal
     queries: dict = {}
     for name in BENCH_QUERIES:
-        t0 = time.time()
-        _noop_write(reg[name](spark, SF_DIR))
-        queries[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            _noop_write(reg[name](spark, SF_DIR))
+            best = min(best, time.time() - t0)
+        queries[name] = round(best, 3)
     spark.stop()
 
     queries["kg_pipeline"] = res_hi["sec"]
