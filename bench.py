@@ -176,13 +176,21 @@ def main():
     scaling_on = (os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
                   and CPUS > 8)
 
-    # KG pipeline at both parallelism levels, fresh JVM each
+    # KG pipeline at each parallelism level, fresh JVM each.  TWO
+    # N-vs-4N pairs: 8->32 is the full-box headline (32 threads = SMT
+    # over ~16 physical cores, so its raw efficiency is capped by the
+    # machine), 4->16 stays within physical cores and shows the
+    # engine's scaling without the SMT distortion.  Each pair is also
+    # reported against the machine's own pure-CPU multiprocessing
+    # ceiling between the same two levels.
     if scaling_on:
         res_hi = kg_bench_subprocess(CPUS, KG_PAGES)
         res_lo = kg_bench_subprocess(8, KG_PAGES)
+        res_16 = kg_bench_subprocess(max(CPUS // 2, 16), KG_PAGES)
+        res_4 = kg_bench_subprocess(4, KG_PAGES)
     else:
         res_hi = kg_bench(CPUS, KG_PAGES)
-        res_lo = None
+        res_lo = res_16 = res_4 = None
 
     # operator query suite at full parallelism
     spark = get_spark("bench_queries", cores=CPUS,
@@ -210,19 +218,24 @@ def main():
     extras: dict = {"kg_docs_per_sec": res_hi["docs_per_sec"],
                     "kg_pages": KG_PAGES}
     if res_lo:
-        speedup = res_lo["sec"] / res_hi["sec"]
-        ceil = cpu_ceiling(8, CPUS)
-        extras["scaling"] = {
-            "cores_low": 8, "cores_high": CPUS,
-            "kg_sec_low": res_lo["sec"], "kg_sec_high": res_hi["sec"],
-            "docs_per_sec_low": res_lo["docs_per_sec"],
-            "docs_per_sec_high": res_hi["docs_per_sec"],
-            "speedup": round(speedup, 3),
-            "efficiency": round(speedup / (CPUS / 8), 3),
-            "machine_cpu_ceiling_speedup": ceil["speedup"],
-            "efficiency_vs_machine_ceiling": round(
-                speedup / ceil["speedup"], 3),
-        }
+        def pair(lo, hi, r_lo, r_hi):
+            speedup = r_lo["sec"] / r_hi["sec"]
+            ceil = cpu_ceiling(lo, hi)
+            return {
+                "cores_low": lo, "cores_high": hi,
+                "kg_sec_low": r_lo["sec"], "kg_sec_high": r_hi["sec"],
+                "docs_per_sec_low": r_lo["docs_per_sec"],
+                "docs_per_sec_high": r_hi["docs_per_sec"],
+                "speedup": round(speedup, 3),
+                "efficiency": round(speedup / (hi / lo), 3),
+                "machine_cpu_ceiling_speedup": ceil["speedup"],
+                "efficiency_vs_machine_ceiling": round(
+                    speedup / ceil["speedup"], 3),
+            }
+
+        extras["scaling"] = pair(8, CPUS, res_lo, res_hi)
+        extras["scaling_physical"] = pair(4, max(CPUS // 2, 16),
+                                          res_4, res_16)
 
     print(json.dumps({
         "metric": "kg-construct suite wall-clock (extract+triples pipeline "
