@@ -48,10 +48,15 @@ class Node:
         return f"<{self.tag} {self.attrs} n={len(self.children)}>"
 
     def iter(self):
-        yield self
-        for c in self.children:
-            if isinstance(c, Node):
-                yield from c.iter()
+        # iterative pre-order: recursive `yield from` costs O(depth)
+        # frames per node, which dominates tree-walk-heavy selectors
+        stack = [self]
+        pop, push = stack.pop, stack.extend
+        while stack:
+            n = pop()
+            yield n
+            # children reversed so traversal order stays document order
+            push(c for c in reversed(n.children) if isinstance(c, Node))
 
 
 # void elements never take children (HTML5 §13.1.2)
@@ -347,7 +352,22 @@ def _sel_match(node: Node, selector: str) -> bool:
 
 
 def select(root: Node, selector: str) -> list[Node]:
-    return [n for n in root.iter() if n is not root and _sel_match(n, selector)]
+    # selector parsed once, not per node (_sel_match kept as the
+    # single-node spec/test surface)
+    if "." in selector:
+        tag, cls = selector.split(".", 1)
+    else:
+        tag, cls = selector, None
+    out = []
+    for n in root.iter():
+        if n is root:
+            continue
+        if tag and n.tag != tag:
+            continue
+        if cls is not None and cls not in n.attrs.get("class", "").split():
+            continue
+        out.append(n)
+    return out
 
 
 def content_select(
