@@ -56,7 +56,9 @@ class Node:
             n = pop()
             yield n
             # children reversed so traversal order stays document order
-            push(c for c in reversed(n.children) if isinstance(c, Node))
+            # (listcomp: a generator object per node costs more than the
+            # filtered list it feeds extend)
+            push([c for c in reversed(n.children) if isinstance(c, Node)])
 
 
 # void elements never take children (HTML5 §13.1.2)
@@ -140,7 +142,6 @@ _ATTR_RE = re.compile(
     r"""((?<=['"\s/])[^\s/>][^\s/=>]*)"""
     r"""(?:\s*=+\s*('[^']*'|"[^"]*"|(?!['"])[^>\s]*))?""")
 
-_HAS_AMP_RE = re.compile("&")
 
 
 class _CdataEnd:
@@ -168,14 +169,14 @@ def parse_html(text: str) -> Node:
         if lt < 0:
             data = text[pos:]
             if data:
-                if _HAS_AMP_RE.search(data):
+                if "&" in data:
                     data = unescape(data)
                 stack[-1].children.append(data)
             break
         m = _TOKEN_RE.match(text, lt)
         if lt > pos:
             data = text[pos:lt]
-            if _HAS_AMP_RE.search(data):
+            if "&" in data:
                 data = unescape(data)
             stack[-1].children.append(data)
         if m is None:
@@ -207,7 +208,7 @@ def parse_html(text: str) -> Node:
             else:
                 k += 1
             data = text[lt:k]
-            if _HAS_AMP_RE.search(data):
+            if "&" in data:
                 data = unescape(data)
             stack[-1].children.append(data)
             pos = k
