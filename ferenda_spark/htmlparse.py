@@ -56,9 +56,7 @@ class Node:
             n = pop()
             yield n
             # children reversed so traversal order stays document order
-            # (listcomp: a generator object per node costs more than the
-            # filtered list it feeds extend)
-            push([c for c in reversed(n.children) if isinstance(c, Node)])
+            push(c for c in reversed(n.children) if isinstance(c, Node))
 
 
 # void elements never take children (HTML5 §13.1.2)
@@ -142,6 +140,7 @@ _ATTR_RE = re.compile(
     r"""((?<=['"\s/])[^\s/>][^\s/=>]*)"""
     r"""(?:\s*=+\s*('[^']*'|"[^"]*"|(?!['"])[^>\s]*))?""")
 
+_HAS_AMP_RE = re.compile("&")
 
 
 class _CdataEnd:
@@ -169,14 +168,14 @@ def parse_html(text: str) -> Node:
         if lt < 0:
             data = text[pos:]
             if data:
-                if "&" in data:
+                if _HAS_AMP_RE.search(data):
                     data = unescape(data)
                 stack[-1].children.append(data)
             break
         m = _TOKEN_RE.match(text, lt)
         if lt > pos:
             data = text[pos:lt]
-            if "&" in data:
+            if _HAS_AMP_RE.search(data):
                 data = unescape(data)
             stack[-1].children.append(data)
         if m is None:
@@ -208,7 +207,7 @@ def parse_html(text: str) -> Node:
             else:
                 k += 1
             data = text[lt:k]
-            if "&" in data:
+            if _HAS_AMP_RE.search(data):
                 data = unescape(data)
             stack[-1].children.append(data)
             pos = k
