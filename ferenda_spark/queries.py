@@ -492,6 +492,23 @@ site AS (
 """
 
 
+def q_dedup_keep_canonical(spark, sf_dir):
+    """Dedup KEEP step — the final operation of the near-dup pipeline:
+    one canonical document per cluster (the min-doc_id representative),
+    carrying the cluster's member count.  The surviving-corpus
+    materialization a training-data pipeline runs after clustering;
+    everything downstream (tokenize/pack) reads only these rows.
+    Columnar: clusters (q_dedup_clusters) -> groupBy(cluster) ->
+    semi-join back to documents."""
+    labels = q_dedup_clusters(spark, sf_dir)
+    clusters = labels.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("n_members"))
+    d = _read(spark, sf_dir, "documents")
+    return (d.join(clusters, d.doc_id == clusters.cluster_id)
+            .select("doc_id", "source", "n_members")
+            .withColumn("is_dup_cluster", F.col("n_members") > 1))
+
+
 def q_site_toc_pages(spark, sf_dir):
     """S12 static-site TOC pages (operators/render.toc_pages): per-
     issued-year html page, pure columnar group-concat."""
@@ -1558,6 +1575,25 @@ SELECT doc AS doc_id, min(lab)::BIGINT AS cluster_id
 FROM reach GROUP BY doc
 """
 
+ORACLE["dedup_keep_canonical"] = f"""
+WITH RECURSIVE {_LSH_PAIRS_CTES},
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
+          UNION SELECT doc_b, doc_a FROM lsh_pairs),
+reach(doc, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.doc = e.dst
+),
+labels AS (
+  SELECT doc AS doc_id, min(lab)::BIGINT AS cluster_id
+  FROM reach GROUP BY doc),
+clusters AS (
+  SELECT cluster_id, count(*)::BIGINT AS n_members
+  FROM labels GROUP BY cluster_id)
+SELECT d.doc_id, d.source, c.n_members, c.n_members > 1 AS is_dup_cluster
+FROM documents d JOIN clusters c ON d.doc_id = c.cluster_id
+"""
+
 _sim_bits_sql = ", ".join(
     f"sum(CASE WHEN (h{1 + i // 32} >> {i % 32}) & 1 = 1 "
     f"THEN 1 ELSE -1 END) AS s{i}"
@@ -2349,6 +2385,7 @@ def registry_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         "dedup_clusters": q_dedup_clusters,
+        "dedup_keep_canonical": q_dedup_keep_canonical,
         "site_toc_pages": q_site_toc_pages,
         "site_feed_pages": q_site_feed_pages,
         "facet_year_selector": q_facet_year_selector,
