@@ -604,6 +604,60 @@ def q_doc_fingerprint(spark, sf_dir):
     )
 
 
+_PACK_BUDGET = 2048          # tokens per training sequence
+_SAMPLE_CAP = 20             # per-source document cap (sf-scaled demo)
+
+
+def q_seq_pack_assign(spark, sf_dir):
+    """Sequence packing — the tokenize-and-pack stage of a training-data
+    pipeline: concatenate each source's token stream in deterministic
+    doc_id order and split it every _PACK_BUDGET tokens ("concat-and-
+    chunk", GPT-style pretraining packing).  Each document gets the pack
+    it STARTS in (floor(exclusive-cumsum / budget)) and its token offset
+    within that pack.
+
+    Scale shape: the running sum is windowed PER SOURCE (one bounded
+    stream per domain), never a global single-reducer window; for a
+    globally contiguous pack numbering the two-pass broadcast-prefix-sum
+    of q_news_atom_pages composes on top.  Pure columnar, one shuffle on
+    (source)."""
+    d = _read_wide(spark, sf_dir, "documents")
+    t = d.select("doc_id", "source",
+                 F.size(F.expr(_TOKS)).cast("long").alias("n_tokens"))
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    pre = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    return t.select(
+        "doc_id", "source", "n_tokens",
+        F.floor(pre / _PACK_BUDGET).cast("long").alias("pack_id"),
+        (pre % _PACK_BUDGET).cast("long").alias("pack_offset"))
+
+
+def q_sample_source_balanced(spark, sf_dir):
+    """Deterministic source-balanced sampling — the mixture-rebalancing
+    step of a training-data pipeline: overrepresented sources are
+    downsampled to ~_SAMPLE_CAP expected docs by keeping documents whose
+    md5(doc_id) 32-bit prefix falls under a per-source threshold
+    (rate = min(1, cap/count)).  Hash-threshold sampling is reproducible
+    across engines and runs (no RNG state), and composes with
+    incremental ingest: a document's keep/drop decision never changes as
+    the corpus grows, only the per-source rate does.
+
+    Scale shape: per-source counts are a tiny aggregate broadcast back
+    onto the corpus scan; the filter itself is a stateless column
+    expression (no shuffle of the wide rows)."""
+    d = _read_wide(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    rate = F.least(F.lit(1.0), F.lit(_SAMPLE_CAP) / F.col("n_docs"))
+    thr = F.lpad(F.lower(F.hex(F.floor(rate * F.lit(4294967295.0))
+                               .cast("long"))), 8, "0")
+    counts = counts.select("source", thr.alias("thr"))
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    return (d.join(F.broadcast(counts), "source")
+            .where(bucket <= F.col("thr"))
+            .select("doc_id", "source", "lang"))
+
+
 _LANG_SLUGS = (("en", "english"), ("fr", "francais"), ("es", "espanol"),
                ("de", "deutsch"), ("zh", "zhongwen"))
 
@@ -1705,6 +1759,32 @@ SELECT doc_id,
 FROM t
 """
 
+ORACLE["seq_pack_assign"] = f"""
+WITH t AS (
+  SELECT doc_id, source, len({_TOKS_SQL})::BIGINT AS n_tokens
+  FROM documents),
+c AS (
+  SELECT *, coalesce(sum(n_tokens) OVER (
+      PARTITION BY source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+  FROM t)
+SELECT doc_id, source, n_tokens,
+       (pre // {_PACK_BUDGET})::BIGINT AS pack_id,
+       (pre % {_PACK_BUDGET})::BIGINT AS pack_offset
+FROM c
+"""
+
+ORACLE["sample_source_balanced"] = f"""
+WITH c AS (
+  SELECT source,
+         lpad(lower(to_hex(floor(least(1.0, {_SAMPLE_CAP} / count(*))
+                                 * 4294967295.0)::BIGINT)), 8, '0') AS thr
+  FROM documents GROUP BY source)
+SELECT d.doc_id, d.source, d.lang
+FROM documents d JOIN c USING (source)
+WHERE substring(md5(d.doc_id::VARCHAR), 1, 8) <= c.thr
+"""
+
 _LANG_SLUG_SQL = " ".join(
     f"WHEN lang = '{k}' THEN '{v}'" for k, v in _LANG_SLUGS)
 
@@ -2386,6 +2466,8 @@ def registry_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_clusters": q_dedup_clusters,
         "dedup_keep_canonical": q_dedup_keep_canonical,
+        "seq_pack_assign": q_seq_pack_assign,
+        "sample_source_balanced": q_sample_source_balanced,
         "site_toc_pages": q_site_toc_pages,
         "site_feed_pages": q_site_feed_pages,
         "facet_year_selector": q_facet_year_selector,
