@@ -73,6 +73,8 @@ BENCH_QUERIES = [
     "tpch_q3_shipping",
     "events_sessionize",
     "text_bpe_pretokens",
+    "seq_pack_assign",
+    "sample_source_balanced",
     "kg_degree_distribution",
     "pagerank_3iter",
     "events_asof_join",
