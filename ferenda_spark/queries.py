@@ -581,6 +581,56 @@ def q_text_quality_score(spark, sf_dir):
                     ttr.alias("ttr"), score.alias("score"))
 
 
+def q_corpus_filter_cascade(spark, sf_dir):
+    """C4/Gopher-style quality-filter cascade — the keep/drop decision a
+    pretraining corpus pipeline applies before dedup/packing, with the
+    FIRST failing rule as a reason code (drop diagnostics are as
+    important as the drops): too_short -> non_english -> low_diversity
+    (repetition) -> word_length (boilerplate/garbage).  All thresholds
+    compare via integer cross-multiplication (hits*100 <= n*3 instead of
+    hits/n <= .03) so the decision is exact and engine-portable.  Pure
+    columnar single scan; composes with q_sample_source_balanced and
+    q_seq_pack_assign downstream."""
+    d = _read_wide(spark, sf_dir, "documents")
+    stop = ("the", "a", "of", "and", "to")
+    t = d.withColumn("ts", F.expr(_TOKS))
+    n = F.size("ts").cast("long")
+    nd = F.size(F.array_distinct("ts")).cast("long")
+    hits = F.size(F.filter("ts", lambda x: x.isin(*stop))).cast("long")
+    sumlen = F.aggregate(
+        "ts", F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+    t = t.select("doc_id", n.alias("n"), nd.alias("nd"),
+                 hits.alias("hits"), sumlen.alias("sumlen"))
+    reason = (F.when(F.col("n") < 30, "too_short")
+              .when(F.col("hits") * 100 <= F.col("n") * 3, "non_english")
+              .when(F.col("nd") * 5 < F.col("n"), "low_diversity")
+              .when((F.col("sumlen") < F.col("n") * 2)
+                    | (F.col("sumlen") > F.col("n") * 12), "word_length"))
+    return t.select("doc_id", F.col("n").alias("n_tokens"),
+                    reason.alias("fail_reason"),
+                    reason.isNull().alias("keep"))
+
+
+def q_corpus_mixture_report(spark, sf_dir):
+    """Corpus mixture report: per (source, lang) doc/token totals plus
+    each cell's share of all corpus tokens in basis points — the table a
+    mixture-weighting step (and q_sample_source_balanced's cap choice)
+    reads.  Share is exact integer arithmetic (tot*10000 div corpus),
+    and the corpus total joins back via a broadcast of a 1-row
+    aggregate, never an unpartitioned window."""
+    d = _read_wide(spark, sf_dir, "documents")
+    t = d.select("source", "lang",
+                 F.size(F.expr(_TOKS)).cast("long").alias("n_tokens"))
+    g = t.groupBy("source", "lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").alias("tot_tokens"))
+    tot = g.agg(F.sum("tot_tokens").alias("corpus_tokens"))
+    return (g.crossJoin(F.broadcast(tot))
+            .select("source", "lang", "n_docs", "tot_tokens",
+                    F.expr("tot_tokens * 10000 div corpus_tokens")
+                    .alias("share_bp")))
+
+
 def q_text_token_count(spark, sf_dir):
     """Token counting: regex tokens + whitespace tokens."""
     d = _read_wide(spark, sf_dir, "documents")
@@ -1759,6 +1809,37 @@ SELECT doc_id,
 FROM t
 """
 
+ORACLE["corpus_filter_cascade"] = f"""
+WITH s AS (
+  SELECT doc_id, len(ts)::BIGINT AS n,
+         len(list_distinct(ts))::BIGINT AS nd,
+         len(list_filter(ts, x -> x IN ('the','a','of','and','to')))::BIGINT
+           AS hits,
+         coalesce(list_sum(list_transform(ts, x -> length(x))), 0)::BIGINT
+           AS sumlen
+  FROM (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents)),
+r AS (
+  SELECT doc_id, n,
+         CASE WHEN n < 30 THEN 'too_short'
+              WHEN hits * 100 <= n * 3 THEN 'non_english'
+              WHEN nd * 5 < n THEN 'low_diversity'
+              WHEN sumlen < n * 2 OR sumlen > n * 12 THEN 'word_length'
+         END AS fail_reason
+  FROM s)
+SELECT doc_id, n AS n_tokens, fail_reason, fail_reason IS NULL AS keep
+FROM r
+"""
+
+ORACLE["corpus_mixture_report"] = f"""
+WITH g AS (
+  SELECT source, lang, count(*)::BIGINT AS n_docs,
+         sum(len({_TOKS_SQL}))::BIGINT AS tot_tokens
+  FROM documents GROUP BY source, lang)
+SELECT source, lang, n_docs, tot_tokens,
+       (tot_tokens * 10000) // (SELECT sum(tot_tokens) FROM g) AS share_bp
+FROM g
+"""
+
 ORACLE["seq_pack_assign"] = f"""
 WITH t AS (
   SELECT doc_id, source, len({_TOKS_SQL})::BIGINT AS n_tokens
@@ -2468,6 +2549,8 @@ def registry_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_canonical": q_dedup_keep_canonical,
         "seq_pack_assign": q_seq_pack_assign,
         "sample_source_balanced": q_sample_source_balanced,
+        "corpus_filter_cascade": q_corpus_filter_cascade,
+        "corpus_mixture_report": q_corpus_mixture_report,
         "site_toc_pages": q_site_toc_pages,
         "site_feed_pages": q_site_feed_pages,
         "facet_year_selector": q_facet_year_selector,

@@ -73,3 +73,33 @@ def test_extra_query_matches_oracle(spark, name):
     assert len(spdf) == len(opdf)
     assert sorted(spdf.columns) == sorted(opdf.columns)
     assert _value_hash(spdf) == _value_hash(opdf)
+
+
+def test_filter_cascade_reason_branches(spark, tmp_path):
+    """The synthetic corpus only ever trips too_short/non_english, so
+    pin the other two rules (and priority order) on crafted documents
+    run through the SAME Spark expression."""
+    import pandas as pd
+
+    docs = pd.DataFrame([
+        # kept: diverse english, sane word lengths
+        (1, " ".join(f"the quick brown fox w{i}" for i in range(12))),
+        (2, "hi"),                                       # too_short
+        (3, " ".join(f"bonjour monde numero mot{i} ici" for i in range(8))),
+        (4, "the cat " * 30),                            # low_diversity
+        (5, "the of " + " ".join("verylongnonsenseword%02d" % i * 2
+                                 for i in range(40))),   # word_length
+        (6, "x " * 10),  # short AND low-diversity -> first rule wins
+    ], columns=["doc_id", "text"])
+    docs["lang"] = "en"
+    docs["source"] = "crafted"
+    docs["n_chars"] = docs.text.str.len()
+    docs.to_parquet(tmp_path / "documents.parquet")
+    out = {r.doc_id: r for r in
+           Q.q_corpus_filter_cascade(spark, str(tmp_path)).collect()}
+    assert out[1].keep and out[1].fail_reason is None
+    assert out[2].fail_reason == "too_short"
+    assert out[3].fail_reason == "non_english"
+    assert out[4].fail_reason == "low_diversity"
+    assert out[5].fail_reason == "word_length"
+    assert out[6].fail_reason == "too_short"
