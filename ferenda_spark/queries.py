@@ -581,6 +581,27 @@ def q_text_quality_score(spark, sf_dir):
                     ttr.alias("ttr"), score.alias("score"))
 
 
+def _cascade_signals(d: DataFrame) -> DataFrame:
+    """(doc_id, source, n_tokens, fail_reason) for the quality cascade;
+    shared by the standalone query and the composed preparation chain."""
+    stop = ("the", "a", "of", "and", "to")
+    t = d.withColumn("ts", F.expr(_TOKS))
+    n = F.size("ts").cast("long")
+    nd = F.size(F.array_distinct("ts")).cast("long")
+    hits = F.size(F.filter("ts", lambda x: x.isin(*stop))).cast("long")
+    sumlen = F.aggregate(
+        "ts", F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+    t = t.select("doc_id", "source", n.alias("n"), nd.alias("nd"),
+                 hits.alias("hits"), sumlen.alias("sumlen"))
+    reason = (F.when(F.col("n") < 30, "too_short")
+              .when(F.col("hits") * 100 <= F.col("n") * 3, "non_english")
+              .when(F.col("nd") * 5 < F.col("n"), "low_diversity")
+              .when((F.col("sumlen") < F.col("n") * 2)
+                    | (F.col("sumlen") > F.col("n") * 12), "word_length"))
+    return t.select("doc_id", "source", F.col("n").alias("n_tokens"),
+                    reason.alias("fail_reason"))
+
+
 def q_corpus_filter_cascade(spark, sf_dir):
     """C4/Gopher-style quality-filter cascade — the keep/drop decision a
     pretraining corpus pipeline applies before dedup/packing, with the
@@ -592,23 +613,9 @@ def q_corpus_filter_cascade(spark, sf_dir):
     columnar single scan; composes with q_sample_source_balanced and
     q_seq_pack_assign downstream."""
     d = _read_wide(spark, sf_dir, "documents")
-    stop = ("the", "a", "of", "and", "to")
-    t = d.withColumn("ts", F.expr(_TOKS))
-    n = F.size("ts").cast("long")
-    nd = F.size(F.array_distinct("ts")).cast("long")
-    hits = F.size(F.filter("ts", lambda x: x.isin(*stop))).cast("long")
-    sumlen = F.aggregate(
-        "ts", F.lit(0).cast("long"), lambda a, x: a + F.length(x))
-    t = t.select("doc_id", n.alias("n"), nd.alias("nd"),
-                 hits.alias("hits"), sumlen.alias("sumlen"))
-    reason = (F.when(F.col("n") < 30, "too_short")
-              .when(F.col("hits") * 100 <= F.col("n") * 3, "non_english")
-              .when(F.col("nd") * 5 < F.col("n"), "low_diversity")
-              .when((F.col("sumlen") < F.col("n") * 2)
-                    | (F.col("sumlen") > F.col("n") * 12), "word_length"))
-    return t.select("doc_id", F.col("n").alias("n_tokens"),
-                    reason.alias("fail_reason"),
-                    reason.isNull().alias("keep"))
+    return (_cascade_signals(d)
+            .select("doc_id", "n_tokens", "fail_reason",
+                    F.col("fail_reason").isNull().alias("keep")))
 
 
 def q_corpus_mixture_report(spark, sf_dir):
@@ -629,6 +636,35 @@ def q_corpus_mixture_report(spark, sf_dir):
             .select("source", "lang", "n_docs", "tot_tokens",
                     F.expr("tot_tokens * 10000 div corpus_tokens")
                     .alias("share_bp")))
+
+
+def q_corpus_prepare_chain(spark, sf_dir):
+    """End-to-end corpus preparation — the three training-data stages
+    composed into ONE declarative plan: quality-filter cascade (keep
+    rows only) -> deterministic source-balanced sampling (thresholds
+    computed over the KEPT set) -> concat-and-chunk sequence packing of
+    the sampled stream.  One corpus scan feeds everything; Catalyst
+    fuses the cascade + sampling filters into the scan stage, the only
+    exchanges are the tiny per-source count aggregate (broadcast back)
+    and the per-source packing window."""
+    d = _read_wide(spark, sf_dir, "documents")
+    kept = _cascade_signals(d).where(F.col("fail_reason").isNull())
+    counts = kept.groupBy("source").agg(F.count("*").alias("n_docs"))
+    rate = F.least(F.lit(1.0), F.lit(_SAMPLE_CAP) / F.col("n_docs"))
+    thr = F.lpad(F.lower(F.hex(F.floor(rate * F.lit(4294967295.0))
+                               .cast("long"))), 8, "0")
+    counts = counts.select("source", thr.alias("thr"))
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    sampled = (kept.join(F.broadcast(counts), "source")
+               .where(bucket <= F.col("thr"))
+               .select("doc_id", "source", "n_tokens"))
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    pre = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    return sampled.select(
+        "doc_id", "source", "n_tokens",
+        F.floor(pre / _PACK_BUDGET).cast("long").alias("pack_id"),
+        (pre % _PACK_BUDGET).cast("long").alias("pack_offset"))
 
 
 def q_text_token_count(spark, sf_dir):
@@ -1840,6 +1876,39 @@ SELECT source, lang, n_docs, tot_tokens,
 FROM g
 """
 
+ORACLE["corpus_prepare_chain"] = f"""
+WITH s AS (
+  SELECT doc_id, source, len(ts)::BIGINT AS n,
+         len(list_distinct(ts))::BIGINT AS nd,
+         len(list_filter(ts, x -> x IN ('the','a','of','and','to')))::BIGINT
+           AS hits,
+         coalesce(list_sum(list_transform(ts, x -> length(x))), 0)::BIGINT
+           AS sumlen
+  FROM (SELECT doc_id, source, {_TOKS_SQL} AS ts FROM documents)),
+kept AS (
+  SELECT doc_id, source, n AS n_tokens FROM s
+  WHERE NOT (n < 30 OR hits * 100 <= n * 3 OR nd * 5 < n
+             OR sumlen < n * 2 OR sumlen > n * 12)),
+c AS (
+  SELECT source,
+         lpad(lower(to_hex(floor(least(1.0, {_SAMPLE_CAP} / count(*))
+                                 * 4294967295.0)::BIGINT)), 8, '0') AS thr
+  FROM kept GROUP BY source),
+smp AS (
+  SELECT k.doc_id, k.source, k.n_tokens
+  FROM kept k JOIN c USING (source)
+  WHERE substring(md5(k.doc_id::VARCHAR), 1, 8) <= c.thr),
+p AS (
+  SELECT *, coalesce(sum(n_tokens) OVER (
+      PARTITION BY source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+  FROM smp)
+SELECT doc_id, source, n_tokens,
+       (pre // {_PACK_BUDGET})::BIGINT AS pack_id,
+       (pre % {_PACK_BUDGET})::BIGINT AS pack_offset
+FROM p
+"""
+
 ORACLE["seq_pack_assign"] = f"""
 WITH t AS (
   SELECT doc_id, source, len({_TOKS_SQL})::BIGINT AS n_tokens
@@ -2551,6 +2620,7 @@ def registry_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_source_balanced": q_sample_source_balanced,
         "corpus_filter_cascade": q_corpus_filter_cascade,
         "corpus_mixture_report": q_corpus_mixture_report,
+        "corpus_prepare_chain": q_corpus_prepare_chain,
         "site_toc_pages": q_site_toc_pages,
         "site_feed_pages": q_site_feed_pages,
         "facet_year_selector": q_facet_year_selector,
