@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "text_bpe_pretokens",
     "seq_pack_assign",
     "sample_source_balanced",
+    "corpus_prepare_chain",
     "kg_degree_distribution",
     "pagerank_3iter",
     "events_asof_join",
