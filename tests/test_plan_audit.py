@@ -150,6 +150,16 @@ def test_seq_pack_windows_per_source(spark):
     assert "SinglePartition" not in plan
 
 
+def test_prepare_chain_plan_shape(spark):
+    """cascade -> sample -> pack composed: exactly two exchanges (the
+    per-source count aggregate and the packing window), the threshold
+    table broadcast, no single-partition stage anywhere."""
+    df = Q.q_corpus_prepare_chain(spark, SF)
+    assert plans.shuffle_exchange_count(df) == 2
+    assert plans.has_broadcast_hash_join(df)
+    assert "SinglePartition" not in plans.explain_str(df)
+
+
 def test_no_rdd_probe_in_queries():
     """df.rdd builds the full RDD-conversion plan — banned from the
     query layer (VERDICT r02 #8)."""
