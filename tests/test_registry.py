@@ -75,6 +75,34 @@ def test_extra_query_matches_oracle(spark, name):
     assert _value_hash(spdf) == _value_hash(opdf)
 
 
+def test_seq_pack_offsets_reconstruct_cumsum(spark):
+    """pack_id * budget + pack_offset must equal the exclusive running
+    token sum per source in doc_id order — the invariant a downstream
+    pack materializer relies on to slice token streams."""
+    rows = Q.q_seq_pack_assign(spark, SF_DIR).collect()
+    by_source: dict[str, list] = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    for docs in by_source.values():
+        run = 0
+        for r in sorted(docs, key=lambda r: r.doc_id):
+            assert r.pack_id * Q._PACK_BUDGET + r.pack_offset == run
+            run += r.n_tokens
+
+
+def test_sampling_is_monotone_in_cap(spark, monkeypatch):
+    """Hash-threshold sampling nests: every doc kept under a smaller
+    per-source cap is kept under a larger one (RNG sampling has no such
+    property — this is what makes the sampler incremental-safe)."""
+    def kept(cap):
+        monkeypatch.setattr(Q, "_SAMPLE_CAP", cap)
+        return {r.doc_id for r in
+                Q.q_sample_source_balanced(spark, SF_DIR).collect()}
+
+    small, large = kept(5), kept(15)
+    assert small < large  # strictly nested at these caps on this corpus
+
+
 def test_filter_cascade_reason_branches(spark, tmp_path):
     """The synthetic corpus only ever trips too_short/non_english, so
     pin the other two rules (and priority order) on crafted documents
