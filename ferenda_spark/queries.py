@@ -277,16 +277,7 @@ def q_dedup_lsh_pairs(spark, sf_dir, n_perms: int = _N_MINHASH,
     assert bands * rows_per_band <= n_perms <= len(_MH_A)
     sh = _hashed_shingles_df(spark, sf_dir).persist()
     sig = sh.groupBy("doc_id").agg(*_minhash_aggs(n_perms)).persist()
-    # all band keys in ONE scan of the signature table (explode of a
-    # literal struct array), not a bands-way union of scans
-    band_structs = F.array(*[
-        F.struct(F.lit(b).alias("band"),
-                 F.md5(F.concat_ws("-", *[
-                     F.col(f"mh{rows_per_band * b + r}").cast("string")
-                     for r in range(rows_per_band)])).alias("bkey"))
-        for b in range(bands)])
-    bb = (sig.select("doc_id", F.explode(band_structs).alias("bk"))
-          .select("doc_id", "bk.band", "bk.bkey"))
+    bb = _lsh_band_table(sig, bands, rows_per_band)
     cand = (bb.alias("a").join(
         bb.alias("b"),
         (F.col("a.band") == F.col("b.band"))
@@ -295,9 +286,30 @@ def q_dedup_lsh_pairs(spark, sf_dir, n_perms: int = _N_MINHASH,
         .select(F.col("a.doc_id").alias("doc_a"),
                 F.col("b.doc_id").alias("doc_b"))
         .distinct())
+    return _lsh_verify(cand, sh)
+
+
+def _lsh_band_table(sig: DataFrame, bands: int,
+                    rows_per_band: int) -> DataFrame:
+    """(doc_id, band, bkey) — all band keys in ONE scan of the signature
+    table (explode of a literal struct array), not a bands-way union of
+    scans.  At corpus scale this IS the persisted LSH index table that
+    incremental batches probe."""
+    band_structs = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.md5(F.concat_ws("-", *[
+                     F.col(f"mh{rows_per_band * b + r}").cast("string")
+                     for r in range(rows_per_band)])).alias("bkey"))
+        for b in range(bands)])
+    return (sig.select("doc_id", F.explode(band_structs).alias("bk"))
+            .select("doc_id", "bk.band", "bk.bkey"))
+
+
+def _lsh_verify(cand: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact bigram-jaccard verification of candidate pairs.
+    Intersections ONLY for LSH candidates (never all-pairs — the
+    candidate set is what makes this viable at 10^9 docs)."""
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    # intersections ONLY for LSH candidate pairs (never all-pairs — the
-    # candidate set is what makes this viable at 10^9 docs)
     inter = (cand.join(sh.alias("x"), F.col("x.doc_id") == F.col("doc_a"))
              .join(sh.alias("y"),
                    (F.col("y.doc_id") == F.col("doc_b"))
@@ -314,6 +326,47 @@ def q_dedup_lsh_pairs(spark, sf_dir, n_perms: int = _N_MINHASH,
                             / (F.col("na") + F.col("nb") - F.col("inter")),
                             4).alias("jaccard"))
             .where(F.col("jaccard") >= 0.05))
+
+
+def q_dedup_lsh_incremental(spark, sf_dir, n_perms: int = _N_MINHASH,
+                            bands: int = 4, rows_per_band: int = 2):
+    """Incremental LSH near-dup — the daily-crawl shape: the existing
+    corpus' shingle and band tables are materialized state (persisted
+    here; stored tables at 10^9-doc scale), and ONLY the new batch
+    (doc_id % 5 == 0 stands in for today's crawl) is shingled, minhashed
+    and banded.  Candidates = new-batch probes of the OLD band index +
+    the new batch's self-join; old shingles are read back only for
+    candidate partners (semi-join pushdown), so per-batch cost scales
+    with the batch and its collision set, not the corpus.  The oracle
+    pins the contract: output == the full-batch q_dedup_lsh_pairs
+    restricted to pairs touching a new doc."""
+    sh = _hashed_shingles_df(spark, sf_dir)
+    is_new = F.col("doc_id") % 5 == 0
+    sh_old = sh.where(~is_new).persist()
+    sh_new = sh.where(is_new).persist()
+    bb_old = _lsh_band_table(
+        sh_old.groupBy("doc_id").agg(*_minhash_aggs(n_perms)),
+        bands, rows_per_band)
+    bb_new = _lsh_band_table(
+        sh_new.groupBy("doc_id").agg(*_minhash_aggs(n_perms)),
+        bands, rows_per_band).persist()
+    on = [F.col("a.band") == F.col("b.band"),
+          F.col("a.bkey") == F.col("b.bkey")]
+    cross = (bb_new.alias("a").join(bb_old.alias("b"), on)
+             .select(F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+                     F.greatest("a.doc_id", "b.doc_id").alias("doc_b")))
+    self_new = (bb_new.alias("a").join(
+        bb_new.alias("b"),
+        on + [F.col("a.doc_id") < F.col("b.doc_id")])
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b")))
+    cand = cross.unionByName(self_new).distinct()
+    partners = (cand.select(F.col("doc_a").alias("doc_id"))
+                .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+                .distinct())
+    sh_needed = (sh_old.join(partners, "doc_id", "left_semi")
+                 .unionByName(sh_new))
+    return _lsh_verify(cand, sh_needed)
 
 
 _SIMHASH_BITS = 64
@@ -1702,6 +1755,13 @@ WITH {_LSH_PAIRS_CTES}
 SELECT doc_a, doc_b, jaccard FROM lsh_pairs
 """
 
+# contract: incremental == full restricted to pairs touching a new doc
+ORACLE["dedup_lsh_incremental"] = f"""
+WITH {_LSH_PAIRS_CTES}
+SELECT doc_a, doc_b, jaccard FROM lsh_pairs
+WHERE doc_a % 5 = 0 OR doc_b % 5 = 0
+"""
+
 ORACLE["dedup_clusters"] = f"""
 WITH RECURSIVE {_LSH_PAIRS_CTES},
 edges AS (SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
@@ -2616,6 +2676,7 @@ def registry_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_clusters": q_dedup_clusters,
         "dedup_keep_canonical": q_dedup_keep_canonical,
+        "dedup_lsh_incremental": q_dedup_lsh_incremental,
         "seq_pack_assign": q_seq_pack_assign,
         "sample_source_balanced": q_sample_source_balanced,
         "corpus_filter_cascade": q_corpus_filter_cascade,
