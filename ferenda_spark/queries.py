@@ -352,7 +352,9 @@ def q_dedup_lsh_incremental(spark, sf_dir, n_perms: int = _N_MINHASH,
         bands, rows_per_band).persist()
     on = [F.col("a.band") == F.col("b.band"),
           F.col("a.bkey") == F.col("b.bkey")]
-    cross = (bb_new.alias("a").join(bb_old.alias("b"), on)
+    # broadcast the BATCH side: the old band index is corpus-sized and
+    # must never shuffle for a daily batch's probe
+    cross = (F.broadcast(bb_new).alias("a").join(bb_old.alias("b"), on)
              .select(F.least("a.doc_id", "b.doc_id").alias("doc_a"),
                      F.greatest("a.doc_id", "b.doc_id").alias("doc_b")))
     self_new = (bb_new.alias("a").join(
