@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "dedup_simhash_band_pairs",
     "dedup_ngram_jaccard",
     "dedup_clusters",
+    "dedup_lsh_incremental",
     "dedup_embedding_cosine",
     "ann_cosine_topk",
     "ann_ivf_topk",
