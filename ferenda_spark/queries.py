@@ -340,10 +340,13 @@ def q_dedup_lsh_incremental(spark, sf_dir, n_perms: int = _N_MINHASH,
     with the batch and its collision set, not the corpus.  The oracle
     pins the contract: output == the full-batch q_dedup_lsh_pairs
     restricted to pairs touching a new doc."""
-    sh = _hashed_shingles_df(spark, sf_dir)
+    # ONE shingle materialization, filtered twice (in production sh_old
+    # and its band table are pre-materialized state and cost nothing at
+    # probe time — here both sides derive from one persisted scan)
+    sh = _hashed_shingles_df(spark, sf_dir).persist()
     is_new = F.col("doc_id") % 5 == 0
-    sh_old = sh.where(~is_new).persist()
-    sh_new = sh.where(is_new).persist()
+    sh_old = sh.where(~is_new)
+    sh_new = sh.where(is_new)
     bb_old = _lsh_band_table(
         sh_old.groupBy("doc_id").agg(*_minhash_aggs(n_perms)),
         bands, rows_per_band)
@@ -362,12 +365,15 @@ def q_dedup_lsh_incremental(spark, sf_dir, n_perms: int = _N_MINHASH,
         on + [F.col("a.doc_id") < F.col("b.doc_id")])
         .select(F.col("a.doc_id").alias("doc_a"),
                 F.col("b.doc_id").alias("doc_b")))
-    cand = cross.unionByName(self_new).distinct()
+    # cand feeds both the verify joins and the partner semi-join, and
+    # sh_needed feeds three consumers (sizes + both pair sides): persist
+    # both or the band-join/semi-join subtrees re-execute per consumer
+    cand = cross.unionByName(self_new).distinct().persist()
     partners = (cand.select(F.col("doc_a").alias("doc_id"))
                 .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
                 .distinct())
     sh_needed = (sh_old.join(partners, "doc_id", "left_semi")
-                 .unionByName(sh_new))
+                 .unionByName(sh_new).persist())
     return _lsh_verify(cand, sh_needed)
 
 
@@ -691,6 +697,50 @@ def q_corpus_mixture_report(spark, sf_dir):
             .select("source", "lang", "n_docs", "tot_tokens",
                     F.expr("tot_tokens * 10000 div corpus_tokens")
                     .alias("share_bp")))
+
+
+def q_url_normalize_dedup(spark, sf_dir):
+    """URL canonicalization + URL-level dedup — the step BEFORE content
+    dedup in a crawl pipeline: lowercase scheme/host, strip www., drop
+    default ports (:443/:80), drop fragments and utm_* tracking params,
+    strip the trailing slash; then count docs sharing a canonical URL.
+    Input URLs are synthesized deterministically (doc_id pairs differ
+    only in normalization-removable ways, so the dedup groups are
+    non-trivial and the DuckDB twin reproduces them exactly).  Pure
+    columnar regexp/string expressions + one window on the canonical
+    key."""
+    d = _read(spark, sf_dir, "documents")
+    gid = F.expr("doc_id div 2").cast("string")
+    raw = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit("HTTPS://WWW."), "source",
+                 F.lit(".Example.COM:443/a/"), gid,
+                 F.lit("?utm_source=feed&id="), gid, F.lit("#frag"))
+    ).otherwise(
+        F.concat(F.lit("https://www."), "source",
+                 F.lit(".example.com/a/"), gid,
+                 F.lit("/?id="), gid))
+    u = d.select("doc_id", raw.alias("url"))
+    nofrag = F.regexp_replace("url", r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(nofrag, r"^([A-Za-z]+)://", 1))
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(nofrag, r"^[A-Za-z]+://([^/?#]+)", 1)),
+        r"^www\.", "")
+    host = F.regexp_replace(host, r":(443|80)$", "")
+    path = F.regexp_replace(
+        F.regexp_extract(nofrag, r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1),
+        r"/$", "")
+    qs = F.array_join(
+        F.filter(F.split(F.regexp_extract(nofrag, r"\?([^#]*)", 1), "&"),
+                 lambda p: ~p.startswith("utm_")), "&")
+    norm = F.concat(scheme, F.lit("://"), host, path,
+                    F.when(qs != "", F.concat(F.lit("?"), qs))
+                    .otherwise(F.lit("")))
+    out = u.select("doc_id", "url", norm.alias("norm_url"),
+                   host.alias("url_host"))
+    w = Window.partitionBy("norm_url")
+    return out.withColumn("n_same_norm",
+                          F.count("*").over(w).cast("long"))
 
 
 def q_corpus_prepare_chain(spark, sf_dir):
@@ -1938,6 +1988,43 @@ SELECT source, lang, n_docs, tot_tokens,
 FROM g
 """
 
+ORACLE["url_normalize_dedup"] = """
+WITH u AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN
+           'HTTPS://WWW.' || source || '.Example.COM:443/a/' ||
+           (doc_id // 2)::VARCHAR || '?utm_source=feed&id=' ||
+           (doc_id // 2)::VARCHAR || '#frag'
+         ELSE
+           'https://www.' || source || '.example.com/a/' ||
+           (doc_id // 2)::VARCHAR || '/?id=' || (doc_id // 2)::VARCHAR
+         END AS url
+  FROM documents),
+n AS (
+  SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nofrag FROM u),
+p AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(nofrag, '^([A-Za-z]+)://', 1)) AS scheme,
+         regexp_replace(regexp_replace(lower(regexp_extract(nofrag,
+             '^[A-Za-z]+://([^/?#]+)', 1)), '^www\\.', ''),
+             ':(443|80)$', '') AS host,
+         regexp_replace(regexp_extract(nofrag,
+             '^[A-Za-z]+://[^/?#]+([^?#]*)', 1), '/$', '') AS path,
+         array_to_string(list_filter(string_split(
+             regexp_extract(nofrag, '\\?([^#]*)', 1), '&'),
+             x -> NOT starts_with(x, 'utm_')), '&') AS qs
+  FROM n),
+c AS (
+  SELECT doc_id, url,
+         scheme || '://' || host || path ||
+         CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS norm_url,
+         host AS url_host
+  FROM p)
+SELECT doc_id, url, norm_url, url_host,
+       count(*) OVER (PARTITION BY norm_url)::BIGINT AS n_same_norm
+FROM c
+"""
+
 ORACLE["corpus_prepare_chain"] = f"""
 WITH s AS (
   SELECT doc_id, source, len(ts)::BIGINT AS n,
@@ -2684,6 +2771,7 @@ def registry_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_filter_cascade": q_corpus_filter_cascade,
         "corpus_mixture_report": q_corpus_mixture_report,
         "corpus_prepare_chain": q_corpus_prepare_chain,
+        "url_normalize_dedup": q_url_normalize_dedup,
         "site_toc_pages": q_site_toc_pages,
         "site_feed_pages": q_site_feed_pages,
         "facet_year_selector": q_facet_year_selector,
