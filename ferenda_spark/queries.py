@@ -711,13 +711,17 @@ def q_url_normalize_dedup(spark, sf_dir):
     key."""
     d = _read(spark, sf_dir, "documents")
     gid = F.expr("doc_id div 2").cast("string")
+    # site keyed on the PAIR id so doc 2k and 2k+1 land on the same host
+    # and collapse to one canonical URL (group size 2)
+    site = F.concat(F.lit("site"), (F.expr("doc_id div 2") % 20)
+                    .cast("string"))
     raw = F.when(
         F.col("doc_id") % 2 == 0,
-        F.concat(F.lit("HTTPS://WWW."), "source",
+        F.concat(F.lit("HTTPS://WWW."), site,
                  F.lit(".Example.COM:443/a/"), gid,
                  F.lit("?utm_source=feed&id="), gid, F.lit("#frag"))
     ).otherwise(
-        F.concat(F.lit("https://www."), "source",
+        F.concat(F.lit("https://www."), site,
                  F.lit(".example.com/a/"), gid,
                  F.lit("/?id="), gid))
     u = d.select("doc_id", raw.alias("url"))
@@ -1992,11 +1996,13 @@ ORACLE["url_normalize_dedup"] = """
 WITH u AS (
   SELECT doc_id,
          CASE WHEN doc_id % 2 = 0 THEN
-           'HTTPS://WWW.' || source || '.Example.COM:443/a/' ||
+           'HTTPS://WWW.site' || ((doc_id // 2) % 20)::VARCHAR ||
+           '.Example.COM:443/a/' ||
            (doc_id // 2)::VARCHAR || '?utm_source=feed&id=' ||
            (doc_id // 2)::VARCHAR || '#frag'
          ELSE
-           'https://www.' || source || '.example.com/a/' ||
+           'https://www.site' || ((doc_id // 2) % 20)::VARCHAR ||
+           '.example.com/a/' ||
            (doc_id // 2)::VARCHAR || '/?id=' || (doc_id // 2)::VARCHAR
          END AS url
   FROM documents),
