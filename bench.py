@@ -246,6 +246,9 @@ def main():
                   "+ operator queries)",
         "value": total,
         "unit": "sec",
+        # suite size grows each round as operators are added (r1: 30,
+        # r2: 32, r3: 40) — compare walls per-query, not suite-to-suite
+        "n_queries": len(queries),
         "queries": queries,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         **extras,
