@@ -77,6 +77,9 @@ BENCH_QUERIES = [
     "seq_pack_assign",
     "sample_source_balanced",
     "corpus_prepare_chain",
+    "pii_redact",
+    "dedup_boilerplate_lines",
+    "decontaminate_ngrams",
     "kg_degree_distribution",
     "pagerank_3iter",
     "events_asof_join",

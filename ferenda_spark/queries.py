@@ -747,6 +747,140 @@ def q_url_normalize_dedup(spark, sf_dir):
                           F.count("*").over(w).cast("long"))
 
 
+_PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE_RE = r"\b\d{3}-\d{4}\b"
+_PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def _pii_text(d: DataFrame) -> F.Column:
+    """documents.text with deterministic synthetic PII appended (emails
+    on doc_id%3, phones on %4, IPv4s on %5) so the redaction op has
+    real, oracle-reproducible work; the corpus text itself is PII-free
+    word salad."""
+    gid = F.col("doc_id").cast("string")
+    email = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit(" contact user"), gid, F.lit("@mail"),
+                 (F.col("doc_id") % 7).cast("string"),
+                 F.lit(".example.com"))).otherwise(F.lit(""))
+    phone = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(F.lit(" call 555-01"),
+                 F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"))
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.lit(" from 10."),
+                 (F.col("doc_id") % 256).cast("string"), F.lit(".0.1"))
+    ).otherwise(F.lit(""))
+    return F.concat(F.col("text"), email, phone, ip)
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII redaction — the scrubbing pass a training-data pipeline runs
+    before tokenization: count + replace emails, NANP-style phone
+    numbers and IPv4 addresses with typed placeholder tags.  Pure
+    columnar regexp_count/regexp_replace chain (single scan, no
+    shuffle, whole-stage codegen); the patterns are the standard
+    conservative ones (precision over recall — a redaction false
+    positive destroys training text).  Counts are computed on the raw
+    text so they report what WAS there; replacement order
+    email -> ip -> phone (no pattern matches inside another's
+    placeholder)."""
+    d = _read_wide(spark, sf_dir, "documents")
+    t = _pii_text(d)
+    red = F.regexp_replace(t, _PII_EMAIL_RE, "<EMAIL>")
+    red = F.regexp_replace(red, _PII_IP_RE, "<IP>")
+    red = F.regexp_replace(red, _PII_PHONE_RE, "<PHONE>")
+    return d.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(_PII_EMAIL_RE)).cast("long").alias("n_email"),
+        F.regexp_count(t, F.lit(_PII_PHONE_RE)).cast("long").alias("n_phone"),
+        F.regexp_count(t, F.lit(_PII_IP_RE)).cast("long").alias("n_ip"),
+        F.md5(red).alias("redacted_md5"))
+
+
+def q_dedup_boilerplate_lines(spark, sf_dir):
+    """Repeated-line (boilerplate) removal — the CCNet/RefinedWeb-style
+    sub-document dedup step: lines shared by many documents (nav bars,
+    cookie banners, copyright footers) are dropped from every document
+    while unique body lines survive.  Synthetic header/footer lines are
+    keyed on doc_id%20 so each boilerplate line recurs ~n/20 times and
+    the oracle reproduces the drop set exactly.
+
+    Scale shape: one explode -> line-frequency groupBy (shuffle on the
+    line value) -> the hot set (doc-frequency >= 5) is tiny relative to
+    the corpus BY CONSTRUCTION (a line repeated across >=5 documents is
+    boilerplate; the set of distinct boilerplate lines grows with the
+    number of SITES, not documents), so it broadcasts; body lines never
+    re-shuffle except the per-doc reassembly groupBy.  At 10^12 docs
+    the hot set gets a doc-frequency floor + top-k cap before
+    broadcast."""
+    d = _read_wide(spark, sf_dir, "documents")
+    site = (F.col("doc_id") % 20).cast("string")
+    txt = F.concat(F.lit("nav home site "), site, F.lit("\n"),
+                   F.col("text"),
+                   F.lit("\ncopyright site "), site,
+                   F.lit(" all rights reserved"))
+    lines = d.select(
+        "doc_id", F.posexplode(F.split(txt, "\n")).alias("pos", "line"))
+    freq = lines.groupBy("line").agg(
+        F.count_distinct("doc_id").alias("df"))
+    hot = freq.where(F.col("df") >= 5).select("line")
+    kept = lines.join(F.broadcast(hot), "line", "left_anti")
+    kept_agg = kept.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.md5(F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"]),
+            "\n")).alias("clean_md5"))
+    tot = lines.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_lines"))
+    return (tot.join(kept_agg, "doc_id", "left")
+            .select("doc_id", "n_lines",
+                    (F.col("n_lines")
+                     - F.coalesce("n_kept", F.lit(0))).cast("long")
+                    .alias("n_boiler"),
+                    "clean_md5"))
+
+
+def q_decontaminate_ngrams(spark, sf_dir):
+    """Benchmark decontamination — flag training documents sharing any
+    6-token n-gram with a held-out eval set (here: the deterministic
+    doc_id%97 sample standing in for a benchmark suite).  The standard
+    n-gram-overlap decontamination a pretraining pipeline runs so eval
+    answers leaked into the crawl don't inflate scores; eval docs
+    themselves appear in the corpus (is_eval) and are the guaranteed
+    self-contamination hits, near-dups of them the interesting ones.
+
+    Scale shape: the eval n-gram set is bounded by the BENCHMARK size
+    (fixed, small) -> distinct + broadcast; the corpus side explodes
+    per-doc distinct 6-gram hashes once and broadcast-joins — no
+    corpus-vs-corpus shuffle, one groupBy(doc_id) for the counts, left
+    join back so clean docs report 0."""
+    d = _read_wide(spark, sf_dir, "documents")
+    grams = (d.withColumn("ts", F.expr(_TOKS))
+             .select("doc_id", F.expr(
+                 "case when size(ts) >= 6 then array_distinct(transform("
+                 "sequence(1, size(ts)-5), "
+                 "i -> concat_ws(' ', slice(ts, i, 6)))) "
+                 "else array() end").alias("gs")))
+    ex = (grams.select("doc_id", F.explode("gs").alias("g"))
+          .select("doc_id", F.xxhash64("g").alias("h")))
+    eval_h = (ex.where(F.col("doc_id") % 97 == 0)
+              .select("h").distinct())
+    hits = (ex.join(F.broadcast(eval_h), "h")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_contaminated")))
+    return (d.select("doc_id", (F.col("doc_id") % 97 == 0).alias("is_eval"))
+            .join(hits, "doc_id", "left")
+            .select("doc_id", "is_eval",
+                    F.coalesce("n_contaminated", F.lit(0)).cast("long")
+                    .alias("n_contaminated"))
+            .withColumn("contaminated", F.col("n_contaminated") > 0))
+
+
 def q_corpus_prepare_chain(spark, sf_dir):
     """End-to-end corpus preparation — the three training-data stages
     composed into ONE declarative plan: quality-filter cascade (keep
@@ -2031,6 +2165,78 @@ SELECT doc_id, url, norm_url, url_host,
 FROM c
 """
 
+_PII_TEXT_SQL = """
+  text ||
+  CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id::VARCHAR ||
+       '@mail' || (doc_id % 7)::VARCHAR || '.example.com' ELSE '' END ||
+  CASE WHEN doc_id % 4 = 0 THEN ' call 555-01' ||
+       lpad((doc_id % 100)::VARCHAR, 2, '0') ELSE '' END ||
+  CASE WHEN doc_id % 5 = 0 THEN ' from 10.' || (doc_id % 256)::VARCHAR ||
+       '.0.1' ELSE '' END
+"""
+
+ORACLE["pii_redact"] = f"""
+WITH t AS (SELECT doc_id, {_PII_TEXT_SQL.strip()} AS txt FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(txt,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))::BIGINT
+         AS n_email,
+       len(regexp_extract_all(txt, '\\b\\d{{3}}-\\d{{4}}\\b'))::BIGINT
+         AS n_phone,
+       len(regexp_extract_all(txt,
+           '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b'))::BIGINT
+         AS n_ip,
+       md5(regexp_replace(regexp_replace(regexp_replace(txt,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>',
+           'g'),
+           '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>',
+           'g'),
+           '\\b\\d{{3}}-\\d{{4}}\\b', '<PHONE>', 'g')) AS redacted_md5
+FROM t
+"""
+
+ORACLE["dedup_boilerplate_lines"] = """
+WITH t AS (
+  SELECT doc_id,
+         'nav home site ' || (doc_id % 20)::VARCHAR || chr(10) || text ||
+         chr(10) || 'copyright site ' || (doc_id % 20)::VARCHAR ||
+         ' all rights reserved' AS txt
+  FROM documents),
+arr AS (SELECT doc_id, string_split(txt, chr(10)) AS a FROM t),
+lines AS (SELECT doc_id, i AS pos, a[i] AS line
+          FROM arr, unnest(range(1, len(a) + 1)) AS u(i)),
+hot AS (SELECT line FROM (
+          SELECT line, count(DISTINCT doc_id) AS df FROM lines GROUP BY 1)
+        WHERE df >= 5),
+kept AS (SELECT l.doc_id, l.pos, l.line FROM lines l
+         ANTI JOIN hot h USING (line)),
+ka AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+              md5(string_agg(line, chr(10) ORDER BY pos)) AS clean_md5
+       FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, count(*)::BIGINT AS n_lines
+        FROM lines GROUP BY doc_id)
+SELECT t.doc_id, t.n_lines,
+       (t.n_lines - coalesce(ka.n_kept, 0))::BIGINT AS n_boiler,
+       ka.clean_md5
+FROM tot t LEFT JOIN ka USING (doc_id)
+"""
+
+ORACLE["decontaminate_ngrams"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents),
+g AS (SELECT DISTINCT doc_id,
+        ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] ||
+        ' ' || ts[i+4] || ' ' || ts[i+5] AS gram
+      FROM toks, unnest(range(1, len(ts) - 4)) AS t(i)
+      WHERE len(ts) >= 6),
+ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+hits AS (SELECT g.doc_id, count(*)::BIGINT AS n_contaminated
+         FROM g JOIN ev USING (gram) GROUP BY 1)
+SELECT d.doc_id, (d.doc_id % 97 = 0) AS is_eval,
+       coalesce(h.n_contaminated, 0)::BIGINT AS n_contaminated,
+       coalesce(h.n_contaminated, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
 ORACLE["corpus_prepare_chain"] = f"""
 WITH s AS (
   SELECT doc_id, source, len(ts)::BIGINT AS n,
@@ -2778,6 +2984,9 @@ def registry_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mixture_report": q_corpus_mixture_report,
         "corpus_prepare_chain": q_corpus_prepare_chain,
         "url_normalize_dedup": q_url_normalize_dedup,
+        "pii_redact": q_pii_redact,
+        "dedup_boilerplate_lines": q_dedup_boilerplate_lines,
+        "decontaminate_ngrams": q_decontaminate_ngrams,
         "site_toc_pages": q_site_toc_pages,
         "site_feed_pages": q_site_feed_pages,
         "facet_year_selector": q_facet_year_selector,
