@@ -48,6 +48,18 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # InferFiltersFromGenerate turns every explode(f(x)) into a
+        # scan-pushed `size(f(x))>0 AND isnotnull(f(x))` filter that
+        # RE-EVALUATES f twice below the exchange — for the computed
+        # shingle/n-gram/line arrays this engine explodes, that ran the
+        # whole tokenize+gram pipeline single-core on the pre-shuffle
+        # side (measured 5.7s -> 0.6s on the 6-gram explode at sf0.1).
+        # The rule only ever helps when exploding a STORED array column
+        # whose emptiness can prune at the source; this workload has
+        # none — every exploded array is computed in the plan.
+        .config("spark.sql.optimizer.excludedRules",
+                "org.apache.spark.sql.catalyst.optimizer."
+                "InferFiltersFromGenerate")
     )
     if extra_conf:
         for k, v in extra_conf.items():

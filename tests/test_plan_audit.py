@@ -189,3 +189,36 @@ def test_fused_triples_single_scan(spark):
     # array_distinct (dupes are impossible across documents), so the
     # whole lift is one narrow map stage
     assert plans.shuffle_exchange_count(t) == 0
+
+
+def test_pii_redact_is_shuffle_free(spark):
+    """Redaction is a pure narrow scan: regexp_count/replace in one
+    codegen stage, zero exchanges (only _read_wide's round-robin)."""
+    df = Q.q_pii_redact(spark, SF)
+    # zero hash/range shuffles — the only exchange is _read_wide's
+    # single-file round-robin rebalance
+    assert plans.shuffle_exchange_count(df) == 0
+    plan = plans.explain_str(df, mode="simple")
+    assert "Join" not in plan and "Aggregate" not in plan
+
+
+def test_boilerplate_hot_set_broadcasts(spark):
+    """The line-frequency hot set joins back as a BROADCAST anti-join;
+    the corpus-sized line table must not shuffle for the filter (only
+    the freq groupBy and the per-doc reassembly shuffle)."""
+    df = Q.q_dedup_boilerplate_lines(spark, SF)
+    plan = plans.explain_str(df, mode="simple")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_decontaminate_eval_set_broadcasts(spark):
+    """The eval n-gram set is benchmark-sized: it must broadcast; the
+    corpus n-gram explode must never shuffle on the gram hash."""
+    df = Q.q_decontaminate_ngrams(spark, SF)
+    plan = plans.explain_str(df, mode="simple")
+    assert "BroadcastHashJoin" in plan
+    # at most ONE hash exchange keyed on the gram hash — the eval-set
+    # distinct (benchmark-sized); the corpus explode side must reach
+    # the join without shuffling on h
+    import re
+    assert len(re.findall(r"hashpartitioning\(h#", plan)) <= 1
