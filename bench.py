@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "pii_redact",
     "dedup_boilerplate_lines",
     "decontaminate_ngrams",
+    "vocab_topk_coverage",
     "kg_degree_distribution",
     "pagerank_3iter",
     "events_asof_join",

@@ -1704,6 +1704,43 @@ def q_text_bpe_pretokens(spark, sf_dir):
     )
 
 
+_VOCAB_TOPK = 64
+
+
+def q_vocab_topk_coverage(spark, sf_dir):
+    """Tokenizer-training vocabulary stats: global token frequencies,
+    the top-K tokens by count (ties broken by token), each with rank
+    and CUMULATIVE corpus-coverage share in basis points — the table a
+    BPE/unigram trainer seeds its vocabulary from and the coverage
+    curve data for choosing vocab size.
+
+    Scale shape: one corpus-wide (token -> count) aggregate (map-side
+    partial + final, the same two-level agg as kg_stats_counts); the
+    global total piggybacks as a broadcast 1-row aggregate; top-K via
+    orderBy+limit is a TakeOrdered (per-partition heap + driver merge
+    of K rows, never a global sort); the cumulative window then runs
+    over exactly K rows — bounded by the VOCAB knob, not the corpus —
+    so the partitionless window is constant-size at any scale."""
+    d = _read_wide(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.expr(_TOKS)).alias("token"))
+    freq = toks.groupBy("token").agg(
+        F.count("*").cast("long").alias("n_occurrences"))
+    total = freq.agg(F.sum("n_occurrences").alias("corpus_tokens"))
+    topk = (freq.orderBy(F.desc("n_occurrences"), F.asc("token"))
+            .limit(_VOCAB_TOPK))
+    return (topk.crossJoin(F.broadcast(total))
+            .select("token", "n_occurrences",
+                    F.row_number().over(
+                        Window.orderBy(F.desc("n_occurrences"),
+                                       F.asc("token")))
+                    .cast("long").alias("rank"),
+                    F.expr("sum(n_occurrences) OVER (ORDER BY "
+                           "n_occurrences DESC, token ASC ROWS BETWEEN "
+                           "UNBOUNDED PRECEDING AND CURRENT ROW) "
+                           "* 10000 div corpus_tokens")
+                    .alias("cum_share_bp")))
+
+
 def q_kg_degree_distribution(spark, sf_dir):
     """Graph analytics over the lifted KG: per-node out-degree from the
     subject side, then the degree histogram (how many nodes have degree
@@ -2235,6 +2272,24 @@ SELECT d.doc_id, (d.doc_id % 97 = 0) AS is_eval,
        coalesce(h.n_contaminated, 0)::BIGINT AS n_contaminated,
        coalesce(h.n_contaminated, 0) > 0 AS contaminated
 FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
+ORACLE["vocab_topk_coverage"] = f"""
+WITH toks AS (SELECT unnest({_TOKS_SQL}) AS token FROM documents),
+freq AS (SELECT token, count(*)::BIGINT AS n_occurrences
+         FROM toks GROUP BY token),
+total AS (SELECT sum(n_occurrences) AS corpus_tokens FROM freq),
+topk AS (SELECT token, n_occurrences FROM freq
+         ORDER BY n_occurrences DESC, token ASC LIMIT {_VOCAB_TOPK})
+SELECT token, n_occurrences,
+       row_number() OVER (ORDER BY n_occurrences DESC, token ASC)::BIGINT
+         AS rank,
+       (sum(n_occurrences) OVER (ORDER BY n_occurrences DESC, token ASC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND
+                                 CURRENT ROW)
+        * 10000 // (SELECT corpus_tokens FROM total))::BIGINT
+         AS cum_share_bp
+FROM topk
 """
 
 ORACLE["corpus_prepare_chain"] = f"""
@@ -2987,6 +3042,7 @@ def registry_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "dedup_boilerplate_lines": q_dedup_boilerplate_lines,
         "decontaminate_ngrams": q_decontaminate_ngrams,
+        "vocab_topk_coverage": q_vocab_topk_coverage,
         "site_toc_pages": q_site_toc_pages,
         "site_feed_pages": q_site_feed_pages,
         "facet_year_selector": q_facet_year_selector,

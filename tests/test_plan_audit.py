@@ -222,3 +222,13 @@ def test_decontaminate_eval_set_broadcasts(spark):
     # the join without shuffling on h
     import re
     assert len(re.findall(r"hashpartitioning\(h#", plan)) <= 1
+
+
+def test_vocab_topk_avoids_global_sort(spark):
+    """Top-K by frequency must plan as TakeOrdered (per-partition heap,
+    driver merge of K rows) — never a full range-partitioned sort of the
+    vocabulary; the cumulative window then runs over K rows only."""
+    df = Q.q_vocab_topk_coverage(spark, SF)
+    plan = plans.explain_str(df, mode="simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
