@@ -81,6 +81,8 @@ BENCH_QUERIES = [
     "dedup_boilerplate_lines",
     "decontaminate_ngrams",
     "vocab_topk_coverage",
+    "text_repetition_signals",
+    "web_corpus_scrub_chain",
     "kg_degree_distribution",
     "pagerank_3iter",
     "events_asof_join",

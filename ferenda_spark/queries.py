@@ -710,6 +710,16 @@ def q_url_normalize_dedup(spark, sf_dir):
     columnar regexp/string expressions + one window on the canonical
     key."""
     d = _read(spark, sf_dir, "documents")
+    out = _url_norm_cols(d)
+    w = Window.partitionBy("norm_url")
+    return out.withColumn("n_same_norm",
+                          F.count("*").over(w).cast("long"))
+
+
+def _url_norm_cols(d: DataFrame) -> DataFrame:
+    """(doc_id, url, norm_url, url_host) with the deterministic
+    synthetic URLs and their canonical forms; shared by the URL-dedup
+    query and the composed scrub chain."""
     gid = F.expr("doc_id div 2").cast("string")
     # site keyed on the PAIR id so doc 2k and 2k+1 land on the same host
     # and collapse to one canonical URL (group size 2)
@@ -740,11 +750,42 @@ def q_url_normalize_dedup(spark, sf_dir):
     norm = F.concat(scheme, F.lit("://"), host, path,
                     F.when(qs != "", F.concat(F.lit("?"), qs))
                     .otherwise(F.lit("")))
-    out = u.select("doc_id", "url", norm.alias("norm_url"),
-                   host.alias("url_host"))
-    w = Window.partitionBy("norm_url")
-    return out.withColumn("n_same_norm",
-                          F.count("*").over(w).cast("long"))
+    return u.select("doc_id", "url", norm.alias("norm_url"),
+                    host.alias("url_host"))
+
+
+def q_text_repetition_signals(spark, sf_dir):
+    """Intra-document repetition signals — the Gopher/MassiveText
+    repetition family the quality cascade's low_diversity rule
+    approximates with unigrams, computed properly: duplicate-bigram
+    fraction (1 - distinct/total) and the share of the document
+    occupied by its single most frequent bigram (boilerplate loops,
+    keyword stuffing).  Pure columnar higher-order functions over the
+    shingle array — one scan, zero shuffles, no UDF; the top-bigram
+    share uses aggregate() over the distinct set rather than a
+    per-doc groupBy."""
+    d = _read_wide(spark, sf_dir, "documents")
+    t = (d.withColumn("ts", F.expr(_TOKS))
+         .withColumn("sh", F.expr(
+             "case when size(ts) >= 2 then zip_with("
+             "slice(ts, 1, size(ts)-1), slice(ts, 2, size(ts)-1), "
+             "(a, b) -> concat(a, ' ', b)) else array() end")))
+    n = F.size("sh").cast("long")
+    nd = F.size(F.array_distinct("sh")).cast("long")
+    # max multiplicity of any bigram: for each DISTINCT bigram count
+    # its occurrences in the full array, take the max — O(n*distinct)
+    # per doc, fine for web-page-sized docs and entirely engine-side
+    top = F.expr(
+        "case when size(sh) = 0 then 0L else aggregate("
+        "array_distinct(sh), 0L, (m, g) -> greatest(m, "
+        "size(filter(sh, x -> x = g)))) end").cast("long")
+    return t.select(
+        "doc_id", n.alias("n_bigrams"), nd.alias("n_distinct_bigrams"),
+        F.when(n > 0, F.round((n - nd) / n, 4)).otherwise(F.lit(0.0))
+        .alias("dup_bigram_frac"),
+        top.alias("top_bigram_count"),
+        F.when(n > 0, F.round(top / n, 4)).otherwise(F.lit(0.0))
+        .alias("top_bigram_share"))
 
 
 _PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
@@ -908,6 +949,55 @@ def q_corpus_prepare_chain(spark, sf_dir):
         "doc_id", "source", "n_tokens",
         F.floor(pre / _PACK_BUDGET).cast("long").alias("pack_id"),
         (pre % _PACK_BUDGET).cast("long").alias("pack_offset"))
+
+
+def q_web_corpus_scrub_chain(spark, sf_dir):
+    """End-to-end web-corpus scrubbing — the four crawl-side cleanup
+    stages composed into ONE declarative plan, upstream of the
+    cascade/sample/pack chain (q_corpus_prepare_chain): URL-level dedup
+    (keep the min-doc_id per canonical URL) || boilerplate-line strip
+    of the wrapped page -> PII redaction of the cleaned text -> quality
+    cascade on the scrubbed result.  keep = url_keep AND cascade pass.
+
+    Scale shape: four shuffles total — line-frequency groupBy, per-doc
+    reassembly groupBy, the canonical-URL window, and the final
+    doc_id equi-join of the two independent subtrees; the boilerplate
+    hot set broadcasts; redaction and cascade signals are narrow
+    expressions fused onto the reassembly output.  Each stage is
+    individually oracle-gated by its standalone query; this entry
+    gates the COMPOSITION."""
+    d = _read_wide(spark, sf_dir, "documents")
+    u = _url_norm_cols(d).select("doc_id", "norm_url")
+    w = Window.partitionBy("norm_url")
+    url_keep = u.select(
+        "doc_id",
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("url_keep"))
+    site = (F.col("doc_id") % 20).cast("string")
+    page = F.concat(F.lit("nav home site "), site, F.lit("\n"),
+                    _pii_text(d),
+                    F.lit("\ncopyright site "), site,
+                    F.lit(" all rights reserved"))
+    lines = d.select("doc_id", "source",
+                     F.posexplode(F.split(page, "\n")).alias("pos", "line"))
+    freq = lines.groupBy("line").agg(
+        F.count_distinct("doc_id").alias("df"))
+    hot = freq.where(F.col("df") >= 5).select("line")
+    clean = (lines.join(F.broadcast(hot), "line", "left_anti")
+             .groupBy("doc_id", "source")
+             .agg(F.array_join(
+                 F.transform(
+                     F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                     lambda s: s["line"]),
+                 "\n").alias("clean_text")))
+    red = F.regexp_replace("clean_text", _PII_EMAIL_RE, "<EMAIL>")
+    red = F.regexp_replace(red, _PII_IP_RE, "<IP>")
+    red = F.regexp_replace(red, _PII_PHONE_RE, "<PHONE>")
+    scrubbed = clean.select("doc_id", "source", red.alias("text"))
+    sig = _cascade_signals(scrubbed)
+    return (sig.join(url_keep, "doc_id")
+            .select("doc_id", "n_tokens", "url_keep", "fail_reason",
+                    (F.col("url_keep") & F.col("fail_reason").isNull())
+                    .alias("keep")))
 
 
 def q_text_token_count(spark, sf_dir):
@@ -2163,8 +2253,17 @@ SELECT source, lang, n_docs, tot_tokens,
 FROM g
 """
 
-ORACLE["url_normalize_dedup"] = """
-WITH u AS (
+_PII_TEXT_SQL = """
+  text ||
+  CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id::VARCHAR ||
+       '@mail' || (doc_id % 7)::VARCHAR || '.example.com' ELSE '' END ||
+  CASE WHEN doc_id % 4 = 0 THEN ' call 555-01' ||
+       lpad((doc_id % 100)::VARCHAR, 2, '0') ELSE '' END ||
+  CASE WHEN doc_id % 5 = 0 THEN ' from 10.' || (doc_id % 256)::VARCHAR ||
+       '.0.1' ELSE '' END
+"""
+
+_URL_NORM_CTES = """u AS (
   SELECT doc_id,
          CASE WHEN doc_id % 2 = 0 THEN
            'HTTPS://WWW.site' || ((doc_id // 2) % 20)::VARCHAR ||
@@ -2196,20 +2295,67 @@ c AS (
          scheme || '://' || host || path ||
          CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS norm_url,
          host AS url_host
-  FROM p)
+  FROM p)"""
+
+ORACLE["url_normalize_dedup"] = f"""
+WITH {_URL_NORM_CTES}
 SELECT doc_id, url, norm_url, url_host,
        count(*) OVER (PARTITION BY norm_url)::BIGINT AS n_same_norm
 FROM c
 """
 
-_PII_TEXT_SQL = """
-  text ||
-  CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id::VARCHAR ||
-       '@mail' || (doc_id % 7)::VARCHAR || '.example.com' ELSE '' END ||
-  CASE WHEN doc_id % 4 = 0 THEN ' call 555-01' ||
-       lpad((doc_id % 100)::VARCHAR, 2, '0') ELSE '' END ||
-  CASE WHEN doc_id % 5 = 0 THEN ' from 10.' || (doc_id % 256)::VARCHAR ||
-       '.0.1' ELSE '' END
+ORACLE["web_corpus_scrub_chain"] = f"""
+WITH {_URL_NORM_CTES},
+uk AS (SELECT doc_id,
+              doc_id = min(doc_id) OVER (PARTITION BY norm_url)
+                AS url_keep
+       FROM c),
+pii AS (SELECT doc_id, source, {_PII_TEXT_SQL.strip()} AS body
+        FROM documents),
+t AS (SELECT doc_id, source,
+        'nav home site ' || (doc_id % 20)::VARCHAR || chr(10) || body ||
+        chr(10) || 'copyright site ' || (doc_id % 20)::VARCHAR ||
+        ' all rights reserved' AS txt
+      FROM pii),
+arr AS (SELECT doc_id, source, string_split(txt, chr(10)) AS a FROM t),
+lines AS (SELECT doc_id, source, i AS pos, a[i] AS line
+          FROM arr, unnest(range(1, len(a) + 1)) AS v(i)),
+hot AS (SELECT line FROM (
+          SELECT line, count(DISTINCT doc_id) AS df FROM lines GROUP BY 1)
+        WHERE df >= 5),
+clean AS (SELECT doc_id, source,
+                 string_agg(line, chr(10) ORDER BY pos) AS ct
+          FROM (SELECT l.doc_id, l.source, l.pos, l.line FROM lines l
+                ANTI JOIN hot h USING (line))
+          GROUP BY 1, 2),
+red AS (SELECT doc_id, source,
+               regexp_replace(regexp_replace(regexp_replace(ct,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                 '<EMAIL>', 'g'),
+                 '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b',
+                 '<IP>', 'g'),
+                 '\\b\\d{{3}}-\\d{{4}}\\b', '<PHONE>', 'g') AS rt
+        FROM clean),
+s AS (
+  SELECT doc_id, len(ts)::BIGINT AS n,
+         len(list_distinct(ts))::BIGINT AS nd,
+         len(list_filter(ts, x -> x IN ('the','a','of','and','to')))::BIGINT
+           AS hits,
+         coalesce(list_sum(list_transform(ts, x -> length(x))), 0)::BIGINT
+           AS sumlen
+  FROM (SELECT doc_id, regexp_extract_all(lower(rt), '[a-z0-9]+') AS ts
+        FROM red)),
+r AS (
+  SELECT doc_id, n,
+         CASE WHEN n < 30 THEN 'too_short'
+              WHEN hits * 100 <= n * 3 THEN 'non_english'
+              WHEN nd * 5 < n THEN 'low_diversity'
+              WHEN sumlen < n * 2 OR sumlen > n * 12 THEN 'word_length'
+         END AS fail_reason
+  FROM s)
+SELECT r.doc_id, r.n AS n_tokens, uk.url_keep, r.fail_reason,
+       (uk.url_keep AND r.fail_reason IS NULL) AS keep
+FROM r JOIN uk USING (doc_id)
 """
 
 ORACLE["pii_redact"] = f"""
@@ -2272,6 +2418,29 @@ SELECT d.doc_id, (d.doc_id % 97 = 0) AS is_eval,
        coalesce(h.n_contaminated, 0)::BIGINT AS n_contaminated,
        coalesce(h.n_contaminated, 0) > 0 AS contaminated
 FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
+ORACLE["text_repetition_signals"] = f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents),
+sh AS (SELECT doc_id,
+         CASE WHEN len(ts) >= 2 THEN
+           list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])
+         ELSE [] END AS sh
+       FROM t),
+m AS (SELECT doc_id, len(sh)::BIGINT AS n,
+             len(list_distinct(sh))::BIGINT AS nd,
+             CASE WHEN len(sh) = 0 THEN 0 ELSE
+               list_aggregate(list_transform(list_distinct(sh),
+                 g -> len(list_filter(sh, x -> x = g))), 'max')
+             END::BIGINT AS top
+      FROM sh)
+SELECT doc_id, n AS n_bigrams, nd AS n_distinct_bigrams,
+       CASE WHEN n > 0 THEN round((n - nd) * 1.0 / n, 4)
+            ELSE 0.0 END AS dup_bigram_frac,
+       top AS top_bigram_count,
+       CASE WHEN n > 0 THEN round(top * 1.0 / n, 4)
+            ELSE 0.0 END AS top_bigram_share
+FROM m
 """
 
 ORACLE["vocab_topk_coverage"] = f"""
@@ -3043,6 +3212,8 @@ def registry_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_boilerplate_lines": q_dedup_boilerplate_lines,
         "decontaminate_ngrams": q_decontaminate_ngrams,
         "vocab_topk_coverage": q_vocab_topk_coverage,
+        "text_repetition_signals": q_text_repetition_signals,
+        "web_corpus_scrub_chain": q_web_corpus_scrub_chain,
         "site_toc_pages": q_site_toc_pages,
         "site_feed_pages": q_site_feed_pages,
         "facet_year_selector": q_facet_year_selector,

@@ -232,3 +232,17 @@ def test_vocab_topk_avoids_global_sort(spark):
     plan = plans.explain_str(df, mode="simple")
     assert "TakeOrderedAndProject" in plan
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_scrub_chain_plan_shape(spark):
+    """URL dedup || boilerplate strip -> redact -> cascade composed:
+    the hot-line set broadcasts (anti-join), redaction+cascade fuse
+    onto the reassembly output (no extra exchange between them), and
+    no stage collapses to a single partition."""
+    df = Q.q_web_corpus_scrub_chain(spark, SF)
+    plan = plans.explain_str(df, mode="simple")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SinglePartition" not in plans.explain_str(df)
+    # line freq agg (partial+final on line), reassembly (doc_id,source),
+    # url window (norm_url), final join (doc_id): <=5 hash exchanges
+    assert plans.shuffle_exchange_count(df) <= 5
