@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "vocab_topk_coverage",
     "text_repetition_signals",
     "web_corpus_scrub_chain",
+    "dedup_semantic",
     "kg_degree_distribution",
     "pagerank_3iter",
     "events_asof_join",

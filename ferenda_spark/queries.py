@@ -1438,6 +1438,58 @@ def _cos(a, b):
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
+def _ivf_assigned(e: DataFrame) -> DataFrame:
+    """(vec_id, v, cluster): nearest of the 4 fixed centroids (vec_id
+    0..3) by cosine, ties to the lower centroid id.  Centroids
+    broadcast; shared by the IVF probe and semantic dedup."""
+    cent = e.where("vec_id < 4").select(F.col("vec_id").alias("cent_id"),
+                                        F.col("v").alias("cv"))
+    return (e.join(F.broadcast(cent))
+            .withColumn("cos_c", _cos(F.col("v"), F.col("cv")))
+            .withColumn("rn", F.row_number().over(
+                Window.partitionBy("vec_id")
+                .orderBy(F.desc("cos_c"), F.asc("cent_id"))))
+            .where("rn = 1")
+            .select("vec_id", "v", F.col("cent_id").alias("cluster")))
+
+
+_SEMDEDUP_TAU = 0.25
+
+
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup-style semantic deduplication (embedding-space dedup a
+    pretraining pipeline runs where MinHash misses paraphrases):
+    vectors are k-means-assigned to a coarse cluster, pairwise cosine
+    is computed ONLY within each cluster, and a vector is a semantic
+    dup if a LOWER-id cluster-mate sits within cosine >= tau — the
+    kept set is the per-group minimum id, exactly like the lexical
+    KEEP step (q_dedup_keep_canonical).
+
+    Scale shape: centroids broadcast (assignment is narrow); the
+    pairwise stage shuffles on the cluster key only — cluster count
+    grows with the corpus in production (bounded cluster SIZE, the
+    SemDeDup recipe), so per-key work is constant; here K=4 fixed
+    centroids keep the DuckDB oracle bit-reproducible.  The kmeans
+    refresh that would re-center clusters is operators/kmeans.py."""
+    assigned = _ivf_assigned(_vec(spark, sf_dir))
+    a = assigned.select(F.col("vec_id").alias("id_a"),
+                        F.col("v").alias("va"), "cluster")
+    b = assigned.select(F.col("vec_id").alias("id_b"),
+                        F.col("v").alias("vb"), "cluster")
+    dup = (a.join(b, "cluster")
+           .where(F.col("id_a") < F.col("id_b"))
+           .withColumn("cos", F.round(_cos(F.col("va"), F.col("vb")), 3))
+           .where(F.col("cos") >= _SEMDEDUP_TAU)
+           .groupBy(F.col("id_b").alias("vec_id"))
+           .agg(F.max("cos").alias("max_cos_to_lower")))
+    return (assigned.select("vec_id", "cluster")
+            .join(dup, "vec_id", "left")
+            .select("vec_id", F.col("cluster").cast("long").alias("cluster"),
+                    "max_cos_to_lower",
+                    F.col("max_cos_to_lower").isNotNull()
+                    .alias("is_semdup")))
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF-style ANN (scale path): vectors are assigned to the nearest of
     4 fixed centroids (coarse quantizer), and each query searches only
@@ -1446,16 +1498,7 @@ def q_ann_ivf_topk(spark, sf_dir):
     DuckDB oracle can reproduce the assignment bit-for-bit; the actual
     refresh job is operators/kmeans.py (distributed Lloyd iterations,
     one shuffle each, unit-gated on monotone inertia)."""
-    e = _vec(spark, sf_dir)
-    cent = e.where("vec_id < 4").select(F.col("vec_id").alias("cent_id"),
-                                        F.col("v").alias("cv"))
-    assigned = (e.join(F.broadcast(cent))
-                .withColumn("cos_c", _cos(F.col("v"), F.col("cv")))
-                .withColumn("rn", F.row_number().over(
-                    Window.partitionBy("vec_id")
-                    .orderBy(F.desc("cos_c"), F.asc("cent_id"))))
-                .where("rn = 1")
-                .select("vec_id", "v", F.col("cent_id").alias("cluster")))
+    assigned = _ivf_assigned(_vec(spark, sf_dir))
     q = (assigned.where("vec_id < 5")
          .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
                  "cluster"))
@@ -2796,8 +2839,7 @@ allhops AS (
 SELECT src, dst, min(depth)::BIGINT AS depth FROM allhops GROUP BY src, dst
 """
 
-ORACLE["ann_ivf_topk"] = """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+_IVF_ASG_CTES = """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 cent AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 4),
 asg AS (
   SELECT vec_id, v, cent_id AS cluster FROM (
@@ -2808,7 +2850,28 @@ asg AS (
                       / (sqrt(list_dot_product(e.v, e.v))
                          * sqrt(list_dot_product(c.cv, c.cv))) DESC,
                       c.cent_id ASC) AS rn
-    FROM e CROSS JOIN cent c) WHERE rn = 1),
+    FROM e CROSS JOIN cent c) WHERE rn = 1)"""
+
+ORACLE["dedup_semantic"] = f"""
+WITH {_IVF_ASG_CTES},
+dup AS (
+  SELECT b.vec_id, max(round(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))), 3))
+           AS max_cos_to_lower
+  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v))), 3) >= {_SEMDEDUP_TAU}
+  GROUP BY b.vec_id)
+SELECT asg.vec_id, asg.cluster::BIGINT AS cluster,
+       dup.max_cos_to_lower,
+       dup.max_cos_to_lower IS NOT NULL AS is_semdup
+FROM asg LEFT JOIN dup USING (vec_id)
+"""
+
+ORACLE["ann_ivf_topk"] = f"""
+WITH {_IVF_ASG_CTES},
 p AS (
   SELECT q.vec_id AS qid, q.cluster, c.vec_id AS cid,
          round(list_dot_product(q.v, c.v)
@@ -3214,6 +3277,7 @@ def registry_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk_coverage": q_vocab_topk_coverage,
         "text_repetition_signals": q_text_repetition_signals,
         "web_corpus_scrub_chain": q_web_corpus_scrub_chain,
+        "dedup_semantic": q_dedup_semantic,
         "site_toc_pages": q_site_toc_pages,
         "site_feed_pages": q_site_feed_pages,
         "facet_year_selector": q_facet_year_selector,
