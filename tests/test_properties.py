@@ -105,3 +105,64 @@ def test_legal_recognizers_total_and_deterministic(text):
         assert a == b
         for r in a:
             assert r["uri"].startswith("https://lagen.nu/")
+
+
+# --- scrub-op properties (round 3): idempotence over arbitrary input ---
+
+_URL_CHARS = st.text(
+    alphabet="abcXYZ019.:/?#&=_-", min_size=0, max_size=40)
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(s=_URL_CHARS)
+def test_url_normalization_idempotent(spark, s):
+    """norm(norm(u)) == norm(u) for arbitrary URL-ish strings — a
+    canonicalization that keeps moving under itself corrupts the
+    URL-dedup groups (applies the same regexp chain as
+    queries._url_norm_cols, which is pinned to synthetic URLs)."""
+    url = "https://" + s
+
+    def norm(col):
+        nofrag = F.regexp_replace(col, r"#.*$", "")
+        scheme = F.lower(F.regexp_extract(nofrag, r"^([A-Za-z]+)://", 1))
+        host = F.regexp_replace(
+            F.lower(F.regexp_extract(nofrag, r"^[A-Za-z]+://([^/?#]+)", 1)),
+            r"^www\.", "")
+        host = F.regexp_replace(host, r":(443|80)$", "")
+        path = F.regexp_replace(
+            F.regexp_extract(nofrag, r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1),
+            r"/$", "")
+        qs = F.array_join(
+            F.filter(F.split(F.regexp_extract(nofrag, r"\?([^#]*)", 1), "&"),
+                     lambda p: ~p.startswith("utm_")), "&")
+        return F.concat(scheme, F.lit("://"), host, path,
+                        F.when(qs != "", F.concat(F.lit("?"), qs))
+                        .otherwise(F.lit("")))
+
+    row = (spark.range(1)
+           .select(norm(F.lit(url)).alias("n1"))
+           .select("n1", norm(F.col("n1")).alias("n2"))
+           .first())
+    assert row.n1 == row.n2
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(s=st.text(
+    alphabet="ab X.@-0159%_+\n", min_size=0, max_size=60))
+def test_pii_redaction_idempotent(spark, s):
+    """redact(redact(t)) == redact(t): the placeholder tags must never
+    re-match any PII pattern (otherwise a second pass corrupts text)."""
+    from ferenda_spark import queries as Q
+
+    def red(col):
+        r = F.regexp_replace(col, Q._PII_EMAIL_RE, "<EMAIL>")
+        r = F.regexp_replace(r, Q._PII_IP_RE, "<IP>")
+        return F.regexp_replace(r, Q._PII_PHONE_RE, "<PHONE>")
+
+    row = (spark.range(1)
+           .select(red(F.lit(s)).alias("r1"))
+           .select("r1", red(F.col("r1")).alias("r2"))
+           .first())
+    assert row.r1 == row.r2
