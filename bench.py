@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "text_repetition_signals",
     "web_corpus_scrub_chain",
     "dedup_semantic",
+    "tokenize_to_ids",
     "kg_degree_distribution",
     "pagerank_3iter",
     "events_asof_join",

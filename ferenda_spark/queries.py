@@ -1874,6 +1874,48 @@ def q_vocab_topk_coverage(spark, sf_dir):
                     .alias("cum_share_bp")))
 
 
+_TOKENIZE_VOCAB_K = 16
+
+
+def q_tokenize_to_ids(spark, sf_dir):
+    """Vocabulary tokenization — map every token to its id in the
+    top-K frequency vocabulary (q_vocab_topk_coverage's table, K=16
+    here so the synthetic corpus actually produces OOV tokens), OOV to
+    id 0: the id-ization stage between scrubbing and sequence packing.
+    Per doc: token count, OOV count, md5 of the space-joined id
+    sequence (order-preserving, so the hash pins the full encoding).
+
+    Scale shape: the vocab is TakeOrdered-K (bounded, broadcast); the
+    corpus side explodes tokens with their position once, broadcast-
+    left-joins the vocab, and one groupBy(doc_id) reassembles — the
+    same explode/reassemble discipline as the boilerplate strip; no
+    corpus-vs-corpus shuffle."""
+    d = _read_wide(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.posexplode(F.expr(_TOKS))
+                    .alias("pos", "token"))
+    vocab = (toks.groupBy("token")
+             .agg(F.count("*").alias("cnt"))
+             .orderBy(F.desc("cnt"), F.asc("token"))
+             .limit(_TOKENIZE_VOCAB_K)
+             .select("token", F.row_number().over(
+                 Window.orderBy(F.desc("cnt"), F.asc("token")))
+                 .cast("long").alias("tok_id")))
+    ids = (toks.join(F.broadcast(vocab), "token", "left")
+           .select("doc_id", "pos",
+                   F.coalesce("tok_id", F.lit(0).cast("long"))
+                   .alias("tok_id")))
+    return (ids.groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_tokens"),
+                 F.sum(F.when(F.col("tok_id") == 0, 1).otherwise(0))
+                 .cast("long").alias("n_oov"),
+                 F.md5(F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.struct("pos", "tok_id"))),
+                         lambda s: s["tok_id"].cast("string")),
+                     " ")).alias("ids_md5")))
+
+
 def q_kg_degree_distribution(spark, sf_dir):
     """Graph analytics over the lifted KG: per-node out-degree from the
     subject side, then the degree histogram (how many nodes have degree
@@ -2461,6 +2503,25 @@ SELECT d.doc_id, (d.doc_id % 97 = 0) AS is_eval,
        coalesce(h.n_contaminated, 0)::BIGINT AS n_contaminated,
        coalesce(h.n_contaminated, 0) > 0 AS contaminated
 FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
+ORACLE["tokenize_to_ids"] = f"""
+WITH toks AS (
+  SELECT doc_id, i AS pos, ts[i] AS token
+  FROM (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents),
+       unnest(range(1, len(ts) + 1)) AS u(i)),
+vocab AS (
+  SELECT token,
+         row_number() OVER (ORDER BY cnt DESC, token ASC)::BIGINT AS tok_id
+  FROM (SELECT token, count(*) AS cnt FROM toks GROUP BY token
+        ORDER BY cnt DESC, token ASC LIMIT {_TOKENIZE_VOCAB_K})),
+ids AS (
+  SELECT t.doc_id, t.pos, coalesce(v.tok_id, 0)::BIGINT AS tok_id
+  FROM toks t LEFT JOIN vocab v USING (token))
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       sum(CASE WHEN tok_id = 0 THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+       md5(string_agg(tok_id::VARCHAR, ' ' ORDER BY pos)) AS ids_md5
+FROM ids GROUP BY doc_id
 """
 
 ORACLE["text_repetition_signals"] = f"""
@@ -3278,6 +3339,7 @@ def registry_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition_signals": q_text_repetition_signals,
         "web_corpus_scrub_chain": q_web_corpus_scrub_chain,
         "dedup_semantic": q_dedup_semantic,
+        "tokenize_to_ids": q_tokenize_to_ids,
         "site_toc_pages": q_site_toc_pages,
         "site_feed_pages": q_site_feed_pages,
         "facet_year_selector": q_facet_year_selector,
