@@ -1465,20 +1465,33 @@ def q_dedup_semantic(spark, sf_dir):
     kept set is the per-group minimum id, exactly like the lexical
     KEEP step (q_dedup_keep_canonical).
 
-    Scale shape: centroids broadcast (assignment is narrow); the
-    pairwise stage shuffles on the cluster key only — cluster count
-    grows with the corpus in production (bounded cluster SIZE, the
-    SemDeDup recipe), so per-key work is constant; here K=4 fixed
-    centroids keep the DuckDB oracle bit-reproducible.  The kmeans
-    refresh that would re-center clusters is operators/kmeans.py."""
-    assigned = _ivf_assigned(_vec(spark, sf_dir))
+    Scale shape: centroids broadcast (assignment is narrow); vector
+    norms are computed ONCE per vector, not per pair (the cosine is
+    dot/(na*nb) with the exact oracle arithmetic, just hoisted); the
+    pairwise join BROADCASTS the cluster-mate side — K is tiny here
+    (4, for oracle bit-reproducibility), so a shuffle join on the
+    cluster key would collapse parallelism to K tasks (measured 10 s
+    -> 1.5 s at sf0.1).  In production the SemDeDup recipe bounds
+    cluster SIZE and grows K with the corpus: the mate side of any
+    one cluster stays broadcast-sized, or the join shuffles on a
+    then-high-cardinality key — either way no K-task bottleneck.  The
+    kmeans refresh that re-centers clusters is operators/kmeans.py."""
+    # assignment feeds three consumers (both pair sides + the output
+    # spine): persist, same discipline as the LSH signature tables
+    assigned = (_ivf_assigned(_vec(spark, sf_dir))
+                .withColumn("nv", F.sqrt(_dot(F.col("v"), F.col("v"))))
+                .persist())
     a = assigned.select(F.col("vec_id").alias("id_a"),
-                        F.col("v").alias("va"), "cluster")
+                        F.col("v").alias("va"), F.col("nv").alias("na"),
+                        "cluster")
     b = assigned.select(F.col("vec_id").alias("id_b"),
-                        F.col("v").alias("vb"), "cluster")
-    dup = (a.join(b, "cluster")
+                        F.col("v").alias("vb"), F.col("nv").alias("nb"),
+                        "cluster")
+    dup = (a.join(F.broadcast(b), "cluster")
            .where(F.col("id_a") < F.col("id_b"))
-           .withColumn("cos", F.round(_cos(F.col("va"), F.col("vb")), 3))
+           .withColumn("cos", F.round(
+               _dot(F.col("va"), F.col("vb"))
+               / (F.col("na") * F.col("nb")), 3))
            .where(F.col("cos") >= _SEMDEDUP_TAU)
            .groupBy(F.col("id_b").alias("vec_id"))
            .agg(F.max("cos").alias("max_cos_to_lower")))
@@ -1498,7 +1511,7 @@ def q_ann_ivf_topk(spark, sf_dir):
     DuckDB oracle can reproduce the assignment bit-for-bit; the actual
     refresh job is operators/kmeans.py (distributed Lloyd iterations,
     one shuffle each, unit-gated on monotone inertia)."""
-    assigned = _ivf_assigned(_vec(spark, sf_dir))
+    assigned = _ivf_assigned(_vec(spark, sf_dir)).persist()
     q = (assigned.where("vec_id < 5")
          .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
                  "cluster"))

@@ -246,3 +246,12 @@ def test_scrub_chain_plan_shape(spark):
     # line freq agg (partial+final on line), reassembly (doc_id,source),
     # url window (norm_url), final join (doc_id): <=5 hash exchanges
     assert plans.shuffle_exchange_count(df) <= 5
+
+
+def test_semantic_dedup_broadcasts_cluster_mates(spark):
+    """The within-cluster pairwise join must broadcast the mate side:
+    a shuffle join on the K-valued cluster key collapses parallelism
+    to K tasks (measured 10s -> 1.4s at sf0.1)."""
+    df = Q.q_dedup_semantic(spark, SF)
+    assert plans.has_broadcast_hash_join(df)
+    assert "hashpartitioning(cluster" not in plans.explain_str(df)
