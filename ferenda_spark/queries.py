@@ -1077,6 +1077,141 @@ def q_sample_source_balanced(spark, sf_dir):
             .select("doc_id", "source", "lang"))
 
 
+# substring-level dedup: fixed char windows (width/stride)
+_SPAN_W = 40
+_SPAN_S = 20
+
+
+def q_dedup_substring_spans(spark, sf_dir):
+    """Substring-level exact-duplicate detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): fixed
+    40-char windows at stride 20 are hashed; a window whose hash occurs
+    in more than one document marks a duplicated span.  Output is the
+    per-document duplicated-window fraction — the signal a span-removal
+    pass thresholds on.  The paper's suffix array finds MAXIMAL shared
+    spans; fixed-stride windows are its scalable streaming
+    approximation (any shared substring of >= W+S-1 chars covers at
+    least one full window).
+
+    Scale shape: windows are hashed to 60-bit longs before the explode
+    leaves the narrow stage, so no shuffle ever carries window text.
+    One scan; the per-(hash, doc) aggregate, a same-key count window,
+    and the per-document rollup are the only exchanges."""
+    d = _read_wide(spark, sf_dir, "documents")
+    wins = F.expr(
+        f"transform(sequence(0, cast(floor((length(text)-{_SPAN_W})"
+        f"/{_SPAN_S}) as int)), i -> substring(text, i*{_SPAN_S}+1, "
+        f"{_SPAN_W}))")
+    w = (d.where(F.length("text") >= _SPAN_W)
+         .select("doc_id", F.explode(wins).alias("win"))
+         .select("doc_id", _h(F.col("win")).alias("h")))
+    g = w.groupBy("h", "doc_id").agg(F.count("*").alias("c"))
+    # rows of g are per (h, doc): count-over-h IS the distinct-doc count
+    g = g.withColumn("nd", F.count("*").over(Window.partitionBy("h")))
+    dup_c = F.sum(F.when(F.col("nd") > 1, F.col("c")).otherwise(0))
+    return (g.groupBy("doc_id")
+            .agg(F.sum("c").cast("long").alias("n_windows"),
+                 dup_c.cast("long").alias("n_dup_windows"),
+                 F.round(dup_c / F.sum("c"), 4).alias("dup_frac")))
+
+
+def q_quality_lm_bits(spark, sf_dir):
+    """CCNet-style language-model quality scoring: a unigram LM trained
+    on the corpus itself scores every document in bits/token
+    (avg -log2 p(tok)) — the thresholding signal CCNet/RedPajama use
+    (there a KenLM 5-gram; the unigram case has the identical Spark
+    shape, the model table is just wider for higher orders).
+
+    Scale shape: the model is a token->count aggregate (vocab-sized,
+    zipf-bounded); scoring joins the exploded token stream back to it
+    on the token key.  At corpus scale the vocabulary head is tiny and
+    hot — AQE skew handling or a broadcast top-K + residual join (the
+    split q_tokenize_to_ids uses) keeps the scoring join balanced."""
+    d = _read_wide(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.expr(_TOKS)).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("double").alias("total"))
+    bits = -F.log2(F.col("cnt") / F.col("total"))
+    return (toks.join(vocab, "tok")
+            .crossJoin(F.broadcast(total))
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_tokens"),
+                 F.round(F.avg(bits), 4).alias("bits_per_token")))
+
+
+_SHARD_SIZE = 50
+
+
+def q_shard_assign(spark, sf_dir):
+    """Deterministic global shuffle + fixed-size shard assignment — the
+    step before a training run: documents are totally ordered by a
+    portable hash (a reproducible permutation, no RNG state) and cut
+    into _SHARD_SIZE-document shards.
+
+    Scale shape: the global row-number uses the same two-pass shape as
+    q_news_atom_pages (a partitionless window is a single-task
+    scale-killer) — rank locally within the hash's top byte (256
+    ordered buckets), then add a broadcast prefix-sum of bucket counts.
+    The bucket-count window runs over 256 rows, not the corpus."""
+    d = _read_wide(spark, sf_dir, "documents")
+    t = d.select("doc_id", _h(F.col("doc_id").cast("string")).alias("h"))
+    # exact integer div (a float divide loses the low bits of a 60-bit
+    # hash near bucket boundaries — doubles carry 53 bits)
+    t = t.withColumn("b", F.expr(f"h div {1 << 52}"))
+    local = t.withColumn(
+        "r", F.row_number().over(
+            Window.partitionBy("b").orderBy("h", "doc_id")))
+    counts = t.groupBy("b").agg(F.count("*").alias("c"))
+    pre = counts.withColumn(
+        "off", F.coalesce(
+            F.sum("c").over(Window.orderBy("b")
+                            .rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0)))
+    rn = (F.col("off") + F.col("r")).cast("long")
+    return (local.join(F.broadcast(pre.select("b", "off")), "b")
+            .select("doc_id", "h", rn.alias("rank"),
+                    F.expr(f"(off + r - 1) div {_SHARD_SIZE}")
+                    .cast("long").alias("shard_id")))
+
+
+def q_split_train_eval(spark, sf_dir):
+    """Deterministic train/valid/test split: a salted 60-bit hash mod
+    100 buckets documents 90/5/5.  Hash splits are stable under corpus
+    growth (a document never migrates between splits as rows are added)
+    — the property decontamination and eval pipelines rely on.  Output
+    is the per-(split, source) contract table a mixture report audits.
+    Pure column expression + one small aggregate; no wide shuffle."""
+    d = _read_wide(spark, sf_dir, "documents")
+    b = _h(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    split = F.when(b < 90, "train").when(b < 95, "valid").otherwise("test")
+    return (d.select(split.alias("split"), "source", "n_chars")
+            .groupBy("split", "source")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("sum_chars")))
+
+
+_DOMAIN_CAP = 8
+
+
+def q_domain_cap_rank(spark, sf_dir):
+    """Quality-ranked per-domain cap (RefinedWeb/FineWeb-style): at most
+    _DOMAIN_CAP documents per source, keeping the longest first
+    (n_chars desc, doc_id asc for determinism).  Complements
+    q_sample_source_balanced: hash-threshold sampling preserves the
+    in-source distribution, the rank cap preserves the best documents.
+
+    Scale shape: the rank<=k filter compiles to WindowGroupLimit
+    (plan-pinned in tests/test_plan_audit.py) — each map task keeps a
+    local top-k per source BEFORE the shuffle, so a billion-document
+    domain moves k rows per task, not its whole partition."""
+    d = _read_wide(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(),
+                                             "doc_id")
+    return (d.withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= _DOMAIN_CAP)
+            .select("doc_id", "source", "n_chars", "rank"))
+
+
 _LANG_SLUGS = (("en", "english"), ("fr", "francais"), ("es", "espanol"),
                ("de", "deutsch"), ("zh", "zhongwen"))
 
@@ -3252,6 +3387,65 @@ WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 """
 
+ORACLE["dedup_substring_spans"] = f"""
+WITH w AS (
+  SELECT doc_id,
+         {_H_SQL.format(x=f"substr(text, i*{_SPAN_S}+1, {_SPAN_W})")} AS h
+  FROM documents,
+       unnest(range(0, (length(text)-{_SPAN_W})//{_SPAN_S} + 1)) AS t(i)
+  WHERE length(text) >= {_SPAN_W}),
+g AS (SELECT h, doc_id, count(*) AS c FROM w GROUP BY h, doc_id),
+gg AS (SELECT *, count(*) OVER (PARTITION BY h) AS nd FROM g)
+SELECT doc_id, sum(c)::BIGINT AS n_windows,
+       sum(CASE WHEN nd > 1 THEN c ELSE 0 END)::BIGINT AS n_dup_windows,
+       round(sum(CASE WHEN nd > 1 THEN c ELSE 0 END)
+             / sum(c)::DOUBLE, 4) AS dup_frac
+FROM gg GROUP BY doc_id
+"""
+
+ORACLE["quality_lm_bits"] = f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents),
+vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+tot AS (SELECT sum(cnt)::DOUBLE AS total FROM vocab)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       round(avg(-log2(cnt / total)), 4) AS bits_per_token
+FROM toks JOIN vocab USING (tok), tot
+GROUP BY doc_id
+"""
+
+ORACLE["shard_assign"] = f"""
+WITH t AS (SELECT doc_id,
+                  {_H_SQL.format(x="doc_id::VARCHAR")} AS h
+           FROM documents),
+r AS (SELECT doc_id, h,
+             row_number() OVER (ORDER BY h, doc_id) AS rank FROM t)
+SELECT doc_id, h, rank::BIGINT AS rank,
+       ((rank - 1) // {_SHARD_SIZE})::BIGINT AS shard_id
+FROM r
+"""
+
+ORACLE["split_train_eval"] = f"""
+WITH t AS (SELECT source, n_chars,
+                  {_H_SQL.format(x="'split:' || doc_id::VARCHAR")} % 100
+                  AS b
+           FROM documents)
+SELECT CASE WHEN b < 90 THEN 'train'
+            WHEN b < 95 THEN 'valid' ELSE 'test' END AS split,
+       source, count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS sum_chars
+FROM t GROUP BY 1, 2
+"""
+
+ORACLE["domain_cap_rank"] = f"""
+WITH r AS (SELECT doc_id, source, n_chars,
+                  row_number() OVER (PARTITION BY source
+                                     ORDER BY n_chars DESC, doc_id)
+                  AS rank
+           FROM documents)
+SELECT doc_id, source, n_chars, rank::BIGINT AS rank
+FROM r WHERE rank <= {_DOMAIN_CAP}
+"""
+
 
 # ---------------------------------------------------------------------------
 # registry
@@ -3353,6 +3547,11 @@ def registry_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_corpus_scrub_chain": q_web_corpus_scrub_chain,
         "dedup_semantic": q_dedup_semantic,
         "tokenize_to_ids": q_tokenize_to_ids,
+        "dedup_substring_spans": q_dedup_substring_spans,
+        "quality_lm_bits": q_quality_lm_bits,
+        "shard_assign": q_shard_assign,
+        "split_train_eval": q_split_train_eval,
+        "domain_cap_rank": q_domain_cap_rank,
         "site_toc_pages": q_site_toc_pages,
         "site_feed_pages": q_site_feed_pages,
         "facet_year_selector": q_facet_year_selector,

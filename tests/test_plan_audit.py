@@ -255,3 +255,56 @@ def test_semantic_dedup_broadcasts_cluster_mates(spark):
     df = Q.q_dedup_semantic(spark, SF)
     assert plans.has_broadcast_hash_join(df)
     assert "hashpartitioning(cluster" not in plans.explain_str(df)
+
+
+def test_domain_cap_pushes_window_group_limit(spark):
+    """rank<=k over the per-source window must compile to
+    WindowGroupLimit (Spark's local top-k before the shuffle) — a
+    billion-document domain then moves k rows per map task, not its
+    whole partition."""
+    df = Q.q_domain_cap_rank(spark, SF)
+    plan = plans.explain_str(df)
+    assert "WindowGroupLimit" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_shard_assign_no_corpus_global_window(spark):
+    """The total order is two-pass: per-bucket local ranks + a
+    broadcast prefix-sum of the 256 bucket counts.  The only
+    partitionless window runs over the bucket-count aggregate (256
+    rows), so the document stream itself is windowed hash-partitioned
+    by bucket."""
+    df = Q.q_shard_assign(spark, SF)
+    plan = plans.explain_str(df)
+    assert plans.has_broadcast_hash_join(df)
+    assert "hashpartitioning(b" in plan
+
+
+def test_substring_spans_shuffles_longs_not_text(spark):
+    """The window explode hashes to 60-bit longs in the same projection
+    — no exchange may carry the 40-char window string."""
+    df = Q.q_dedup_substring_spans(spark, SF)
+    plan = plans.explain_str(df, mode="simple")
+    # the window string may exist only in the stage that generates it
+    # (Generate + same-stage hash projection), never across an exchange
+    segments = plan.split("Exchange")
+    for seg in segments:
+        if "win#" in seg:
+            assert "Generate explode" in seg
+    # (h,doc) agg + count-over-h window + per-doc rollup
+    assert plans.shuffle_exchange_count(df) <= 3
+
+
+def test_split_train_eval_is_one_aggregate(spark):
+    """The split is a stateless column expression; the only exchange
+    feeds the per-(split,source) aggregate."""
+    df = Q.q_split_train_eval(spark, SF)
+    assert plans.shuffle_exchange_count(df) <= 1
+    assert "SinglePartition" not in plans.explain_str(df)
+
+
+def test_lm_bits_broadcasts_total(spark):
+    """The one-row total joins via broadcast; the token->count scoring
+    join is the only wide join in the plan."""
+    df = Q.q_quality_lm_bits(spark, SF)
+    assert plans.has_broadcast_hash_join(df)
