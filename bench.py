@@ -89,6 +89,32 @@ BENCH_QUERIES = [
     "pagerank_3iter",
     "events_asof_join",
     "events_rollup",
+    "dedup_substring_spans",
+    "quality_lm_bits",
+    "shard_assign",
+    "split_train_eval",
+    "domain_cap_rank",
+]
+
+# training-data ops re-measured on a synthesized LARGE documents corpus
+# (fixtures/documents.py): the driver's sf0.1 documents table holds
+# 5,000 ~300-char rows, where these ops are pure fixed overhead —
+# SPARK_GRAFT_DOCS (default 100k) rows with controlled dup/boilerplate/
+# PII rates gives throughput numbers that mean something.  Reported as
+# extras["docs_bench"], NOT in the suite wall (keeps cross-round walls
+# comparable).
+DOCS_BENCH_QUERIES = [
+    "dedup_exact",
+    "dedup_minhash_signature",
+    "dedup_lsh_pairs_prod",
+    "dedup_simhash_band_pairs",
+    "dedup_substring_spans",
+    "dedup_boilerplate_lines",
+    "quality_lm_bits",
+    "corpus_prepare_chain",
+    "web_corpus_scrub_chain",
+    "tokenize_to_ids",
+    "shard_assign",
 ]
 
 
@@ -222,6 +248,33 @@ def main():
             _noop_write(reg[name](spark, SF_DIR))
             best = min(best, time.time() - t0)
         queries[name] = round(best, 3)
+
+    # scaled-corpus pass for the training-data ops (same session — never
+    # two Spark jobs at once on this box)
+    n_docs = int(os.environ.get("SPARK_GRAFT_DOCS", "100000"))
+    docs_bench = None
+    if n_docs > 0:
+        import tempfile
+
+        from ferenda_spark.fixtures.documents import documents_df_dist
+
+        with tempfile.TemporaryDirectory() as td:
+            (documents_df_dist(spark, n_docs)
+             .write.mode("overwrite").parquet(f"{td}/documents.parquet"))
+            dq: dict = {}
+            for name in DOCS_BENCH_QUERIES:
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.time()
+                    _noop_write(reg[name](spark, td))
+                    best = min(best, time.time() - t0)
+                dq[name] = round(best, 3)
+            docs_bench = {
+                "n_docs": n_docs,
+                "queries": dq,
+                "docs_per_sec": {k: round(n_docs / v, 1)
+                                 for k, v in dq.items()},
+            }
     spark.stop()
 
     queries["kg_pipeline"] = res_hi["sec"]
@@ -229,6 +282,8 @@ def main():
 
     extras: dict = {"kg_docs_per_sec": res_hi["docs_per_sec"],
                     "kg_pages": KG_PAGES}
+    if docs_bench:
+        extras["docs_bench"] = docs_bench
     if res_lo:
         def pair(lo, hi, r_lo, r_hi):
             speedup = r_lo["sec"] / r_hi["sec"]

@@ -266,11 +266,13 @@ def q_dedup_minhash_signature(spark, sf_dir):
 
 
 def q_dedup_lsh_pairs(spark, sf_dir, n_perms: int = _N_MINHASH,
-                      bands: int = 4, rows_per_band: int = 2):
+                      bands: int = 4, rows_per_band: int = 2,
+                      min_jaccard: float = 0.05,
+                      bucket_cap: int | None = None):
     """LSH banding (default 4 bands x 2 rows) over the minhash
     signatures -> candidate pairs -> exact bigram-jaccard verification.
-    Parameterized: a production near-dup config is n_perms=16, bands=8
-    (more recall); the oracle runs the default.  The shingle and
+    Parameterized; the oracle gates BOTH this demo default and the
+    production configuration (q_dedup_lsh_pairs_prod).  The shingle and
     signature tables feed multiple downstream joins, so persist them
     (at cluster scale these are materialized intermediate tables);
     shingles travel as 8-byte hashes, never strings."""
@@ -278,6 +280,10 @@ def q_dedup_lsh_pairs(spark, sf_dir, n_perms: int = _N_MINHASH,
     sh = _hashed_shingles_df(spark, sf_dir).persist()
     sig = sh.groupBy("doc_id").agg(*_minhash_aggs(n_perms)).persist()
     bb = _lsh_band_table(sig, bands, rows_per_band)
+    if bucket_cap:
+        ok = (bb.groupBy("band", "bkey").agg(F.count("*").alias("nb"))
+              .where(F.col("nb") <= bucket_cap).select("band", "bkey"))
+        bb = bb.join(ok, ["band", "bkey"], "left_semi")
     cand = (bb.alias("a").join(
         bb.alias("b"),
         (F.col("a.band") == F.col("b.band"))
@@ -286,7 +292,27 @@ def q_dedup_lsh_pairs(spark, sf_dir, n_perms: int = _N_MINHASH,
         .select(F.col("a.doc_id").alias("doc_a"),
                 F.col("b.doc_id").alias("doc_b"))
         .distinct())
-    return _lsh_verify(cand, sh)
+    return _lsh_verify(cand, sh, min_jaccard)
+
+
+def q_dedup_lsh_pairs_prod(spark, sf_dir):
+    """The PRODUCTION LSH configuration: 16 permutations, 4 bands x 4
+    rows, verification threshold 0.5, hot-bucket cap 256.
+
+    Why this exists as a separate gated query: the demo banding (r=2)
+    has per-band collision probability s^2 — documents sharing ONE
+    boilerplate sentence (s ~= 0.02) collide often enough that a 100k-
+    doc corpus with a 35% boilerplate rate generates ~10^6 candidate
+    pairs (measured 76 s on the scaled fixtures corpus; BASELINE.md).
+    r=4 drops that to s^4: the same corpus yields only genuine near-dup
+    candidates (s >= ~0.7 at 50% band recall; s* = (1/b)^(1/r) = 0.71).
+    The bucket cap bounds the worst case — a bucket of k docs is
+    inherently k^2 in pair output, so giant buckets (hash-collision
+    pathologies, template storms) are dropped and their mass delegated
+    to the cluster/KEEP path, same rationale as _NGRAM_BLOCK_CAP."""
+    return q_dedup_lsh_pairs(spark, sf_dir, n_perms=16, bands=4,
+                             rows_per_band=4, min_jaccard=0.5,
+                             bucket_cap=256)
 
 
 def _lsh_band_table(sig: DataFrame, bands: int,
@@ -305,10 +331,22 @@ def _lsh_band_table(sig: DataFrame, bands: int,
             .select("doc_id", "bk.band", "bk.bkey"))
 
 
-def _lsh_verify(cand: DataFrame, sh: DataFrame) -> DataFrame:
+def _lsh_verify(cand: DataFrame, sh: DataFrame,
+                min_jaccard: float = 0.05) -> DataFrame:
     """Exact bigram-jaccard verification of candidate pairs.
     Intersections ONLY for LSH candidates (never all-pairs — the
-    candidate set is what makes this viable at 10^9 docs)."""
+    candidate set is what makes this viable at 10^9 docs).  The shingle
+    table is first semi-joined down to docs that appear in ANY
+    candidate pair: the corpus-sized shingle shuffle shrinks to the
+    collision set's (4x on the 100k-doc fixtures corpus), same output.
+    The pair set is persisted — it feeds the doc filter AND the
+    intersection join, and re-running the banding self-join for each
+    would cost more than the semi-join saves."""
+    cand = cand.persist()
+    cdocs = (cand.select(F.col("doc_a").alias("doc_id"))
+             .union(cand.select(F.col("doc_b").alias("doc_id")))
+             .distinct())
+    sh = sh.join(cdocs, "doc_id", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (cand.join(sh.alias("x"), F.col("x.doc_id") == F.col("doc_a"))
              .join(sh.alias("y"),
@@ -325,7 +363,7 @@ def _lsh_verify(cand: DataFrame, sh: DataFrame) -> DataFrame:
                     F.round(F.col("inter")
                             / (F.col("na") + F.col("nb") - F.col("inter")),
                             4).alias("jaccard"))
-            .where(F.col("jaccard") >= 0.05))
+            .where(F.col("jaccard") >= min_jaccard))
 
 
 def q_dedup_lsh_incremental(spark, sf_dir, n_perms: int = _N_MINHASH,
@@ -2273,18 +2311,34 @@ WITH {_SHINGLES_CTE.strip()},
 SELECT doc_id, {_mh_cols_sql} FROM shp GROUP BY doc_id
 """
 
-_band_sql = " UNION ALL ".join(
-    f"SELECT doc_id, {b} AS band, "
-    f"md5(mh{2*b}::VARCHAR || '-' || mh{2*b+1}::VARCHAR) AS bkey FROM sig"
-    for b in range(4))
-
-_LSH_PAIRS_CTES = f"""{_SHINGLES_CTE.strip()},
+def _lsh_pairs_ctes(n_perms: int, bands: int, rows_per_band: int,
+                    min_j: float, bucket_cap: int | None = None) -> str:
+    """The full DuckDB CTE chain for LSH pairs at ANY banding config —
+    mirrors q_dedup_lsh_pairs parameter-for-parameter."""
+    mh_cols = ", ".join(
+        f"min(({_MH_A[j]} * hp + {_MH_B[j]}) % {_MH_P}) AS mh{j}"
+        for j in range(n_perms))
+    band_sql = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5("
+        + " || '-' || ".join(f"mh{rows_per_band * b + r}::VARCHAR"
+                             for r in range(rows_per_band))
+        + ") AS bkey FROM sig"
+        for b in range(bands))
+    cand_src = "bands"
+    cap_cte = ""
+    if bucket_cap:
+        cap_cte = (f"okb AS (SELECT band, bkey FROM bands "
+                   f"GROUP BY band, bkey HAVING count(*) <= {bucket_cap}),\n"
+                   "bandsok AS (SELECT bands.* FROM bands "
+                   "JOIN okb USING (band, bkey)),\n")
+        cand_src = "bandsok"
+    return f"""{_SHINGLES_CTE.strip()},
 {_SHH_CTE},
 {_HP_CTE},
-sig AS (SELECT doc_id, {_mh_cols_sql} FROM shp GROUP BY doc_id),
-bands AS ({_band_sql}),
-cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         FROM bands a JOIN bands b
+sig AS (SELECT doc_id, {mh_cols} FROM shp GROUP BY doc_id),
+bands AS ({band_sql}),
+{cap_cte}cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM {cand_src} a JOIN {cand_src} b
            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
 sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
 inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
@@ -2298,7 +2352,15 @@ lsh_pairs AS (
   FROM inter i
   JOIN sizes sa ON sa.doc_id = i.doc_a
   JOIN sizes sb ON sb.doc_id = i.doc_b
-  WHERE round(i.inter * 1.0 / (sa.n + sb.n - i.inter), 4) >= 0.05)"""
+  WHERE round(i.inter * 1.0 / (sa.n + sb.n - i.inter), 4) >= {min_j})"""
+
+
+_LSH_PAIRS_CTES = _lsh_pairs_ctes(_N_MINHASH, 4, 2, 0.05)
+
+ORACLE["dedup_lsh_pairs_prod"] = f"""
+WITH {_lsh_pairs_ctes(16, 4, 4, 0.5, bucket_cap=256)}
+SELECT doc_a, doc_b, jaccard FROM lsh_pairs
+"""
 
 ORACLE["dedup_lsh_pairs"] = f"""
 WITH {_LSH_PAIRS_CTES}
@@ -3531,6 +3593,7 @@ def registry_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         "dedup_clusters": q_dedup_clusters,
+        "dedup_lsh_pairs_prod": q_dedup_lsh_pairs_prod,
         "dedup_keep_canonical": q_dedup_keep_canonical,
         "dedup_lsh_incremental": q_dedup_lsh_incremental,
         "seq_pack_assign": q_seq_pack_assign,

@@ -308,3 +308,15 @@ def test_lm_bits_broadcasts_total(spark):
     join is the only wide join in the plan."""
     df = Q.q_quality_lm_bits(spark, SF)
     assert plans.has_broadcast_hash_join(df)
+
+
+def test_lsh_prod_caps_hot_buckets(spark):
+    """The production banding must (a) filter hot buckets through the
+    count<=cap semi-join BEFORE the band self-join — a k-doc bucket is
+    k^2 in pair output, so the cap bounds the worst case — and (b)
+    semi-join the shingle table down to candidate docs before the
+    verification join, so the verify shuffle is collision-set-sized,
+    not corpus-sized."""
+    df = Q.q_dedup_lsh_pairs_prod(spark, SF)
+    plan = plans.explain_str(df, mode="simple")
+    assert plan.count("LeftSemi") >= 2
