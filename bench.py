@@ -107,7 +107,7 @@ DOCS_BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_signature",
     "dedup_lsh_pairs_prod",
-    "dedup_simhash_band_pairs",
+    "dedup_simhash_band_pairs_prod",
     "dedup_substring_spans",
     "dedup_boilerplate_lines",
     "quality_lm_bits",

@@ -465,12 +465,18 @@ def q_dedup_simhash(spark, sf_dir):
     return _simhash_bands(spark, sf_dir)
 
 
-def q_dedup_simhash_band_pairs(spark, sf_dir):
+def q_dedup_simhash_band_pairs(spark, sf_dir,
+                               bucket_cap: int | None = None,
+                               max_hamming: int | None = None):
     """Hamming-ball candidate generation over the 64-bit simhashes:
     pairs agreeing on >= 1 of the 4 16-bit bands (any pair within
     Hamming distance 3 is guaranteed captured; never all-pairs — the
     band join is what scales this to 10^9 docs), with the exact Hamming
-    distance computed per candidate from the band xors."""
+    distance computed per candidate from the band xors.
+
+    Parameterized like the LSH family; the oracle gates BOTH this demo
+    default and the production configuration
+    (q_dedup_simhash_band_pairs_prod)."""
     sim = _simhash_bands(spark, sf_dir).persist()
     # one scan of the simhash table for all band keys (explode), not a
     # 4-way union of scans
@@ -479,6 +485,10 @@ def q_dedup_simhash_band_pairs(spark, sf_dir):
         for j in range(_SIMHASH_BANDS)])
     bb = (sim.select("doc_id", F.explode(band_structs).alias("bk"))
           .select("doc_id", "bk.band", "bk.bkey"))
+    if bucket_cap:
+        ok = (bb.groupBy("band", "bkey").agg(F.count("*").alias("nb"))
+              .where(F.col("nb") <= bucket_cap).select("band", "bkey"))
+        bb = bb.join(ok, ["band", "bkey"], "left_semi")
     cand = (bb.alias("a").join(
         bb.alias("b"),
         (F.col("a.band") == F.col("b.band"))
@@ -494,10 +504,30 @@ def q_dedup_simhash_band_pairs(spark, sf_dir):
     hamming = sum(
         F.bit_count(F.col(f"a_b{j}").bitwiseXOR(F.col(f"b_b{j}")))
         for j in range(_SIMHASH_BANDS)).cast("long")
-    return (cand
-            .join(a, cand.doc_a == a.a_doc_id)
-            .join(b, cand.doc_b == b.b_doc_id)
-            .select("doc_a", "doc_b", hamming.alias("hamming")))
+    out = (cand
+           .join(a, cand.doc_a == a.a_doc_id)
+           .join(b, cand.doc_b == b.b_doc_id)
+           .select("doc_a", "doc_b", hamming.alias("hamming")))
+    if max_hamming is not None:
+        out = out.where(F.col("hamming") <= max_hamming)
+    return out
+
+
+def q_dedup_simhash_band_pairs_prod(spark, sf_dir):
+    """The PRODUCTION SimHash near-dup configuration: hot-bucket cap
+    256 before the band self-join, output restricted to Hamming <= 3
+    (Manku et al., WWW'07 — the standard near-dup radius for 64-bit
+    fingerprints).
+
+    Why this exists: fingerprints over a real (zipf-headed) corpus are
+    NOT uniform — topically-similar docs cluster in band space.  On the
+    100k-doc fixtures corpus the uncapped demo banding emits 51.4M
+    candidate pairs, and the 135 buckets larger than 256 docs carry
+    42.3M of them (a k-doc bucket is k^2 in pair output).  The cap
+    bounds the worst case and delegates pathological buckets to the
+    cluster/KEEP path — same discipline as q_dedup_lsh_pairs_prod."""
+    return q_dedup_simhash_band_pairs(spark, sf_dir, bucket_cap=256,
+                                      max_hamming=3)
 
 
 def q_dedup_clusters(spark, sf_dir):
@@ -2436,7 +2466,19 @@ SELECT doc_id, b0, b1, b2, b3,
 FROM bands
 """
 
-ORACLE["dedup_simhash_band_pairs"] = f"""
+def _simhash_pairs_sql(bucket_cap: int | None = None,
+                       max_hamming: int | None = None) -> str:
+    """DuckDB twin of q_dedup_simhash_band_pairs at ANY config."""
+    cand_src, cap_cte = "bb", ""
+    if bucket_cap:
+        cap_cte = (f"okb AS (SELECT band, bkey FROM bb "
+                   f"GROUP BY band, bkey HAVING count(*) <= {bucket_cap}),\n"
+                   "bbok AS (SELECT bb.* FROM bb JOIN okb "
+                   "USING (band, bkey)),\n")
+        cand_src = "bbok"
+    ham_where = (f"WHERE hamming <= {max_hamming}"
+                 if max_hamming is not None else "")
+    return f"""
 WITH {_SIMHASH_CTE},
 bb AS (
   SELECT doc_id, 0 AS band, b0 AS bkey FROM bands UNION ALL
@@ -2444,18 +2486,26 @@ bb AS (
   SELECT doc_id, 2, b2 FROM bands UNION ALL
   SELECT doc_id, 3, b3 FROM bands
 ),
-cand AS (
+{cap_cte}cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bb a JOIN bb b
+  FROM {cand_src} a JOIN {cand_src} b
     ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT doc_a, doc_b,
+         (bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1)) +
+          bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)))::BIGINT
+           AS hamming
+  FROM cand JOIN bands x ON cand.doc_a = x.doc_id
+            JOIN bands y ON cand.doc_b = y.doc_id
 )
-SELECT doc_a, doc_b,
-       (bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1)) +
-        bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)))::BIGINT
-         AS hamming
-FROM cand JOIN bands x ON cand.doc_a = x.doc_id
-          JOIN bands y ON cand.doc_b = y.doc_id
+SELECT doc_a, doc_b, hamming FROM pairs {ham_where}
 """
+
+
+ORACLE["dedup_simhash_band_pairs"] = _simhash_pairs_sql()
+ORACLE["dedup_simhash_band_pairs_prod"] = _simhash_pairs_sql(
+    bucket_cap=256, max_hamming=3)
 
 ORACLE["ann_cosine_topk"] = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -3594,6 +3644,7 @@ def registry_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_clusters": q_dedup_clusters,
         "dedup_lsh_pairs_prod": q_dedup_lsh_pairs_prod,
+        "dedup_simhash_band_pairs_prod": q_dedup_simhash_band_pairs_prod,
         "dedup_keep_canonical": q_dedup_keep_canonical,
         "dedup_lsh_incremental": q_dedup_lsh_incremental,
         "seq_pack_assign": q_seq_pack_assign,

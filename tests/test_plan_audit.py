@@ -320,3 +320,15 @@ def test_lsh_prod_caps_hot_buckets(spark):
     df = Q.q_dedup_lsh_pairs_prod(spark, SF)
     plan = plans.explain_str(df, mode="simple")
     assert plan.count("LeftSemi") >= 2
+
+
+def test_simhash_prod_caps_hot_buckets(spark):
+    """The production simhash banding must filter hot buckets through
+    the count<=cap semi-join BEFORE the band self-join (on the 100k
+    fixtures corpus the uncapped join emits 51M candidate pairs, 42M of
+    them from the 135 buckets larger than the cap), and the hamming
+    radius must be applied as a plan filter, not client-side."""
+    df = Q.q_dedup_simhash_band_pairs_prod(spark, SF)
+    plan = plans.explain_str(df, mode="simple")
+    assert plan.count("LeftSemi") >= 1
+    assert "hamming" in plan and "<= 3" in plan.replace("(", " (")
