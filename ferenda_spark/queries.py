@@ -1190,21 +1190,35 @@ def q_quality_lm_bits(spark, sf_dir):
     (there a KenLM 5-gram; the unigram case has the identical Spark
     shape, the model table is just wider for higher orders).
 
-    Scale shape: the model is a token->count aggregate (vocab-sized,
-    zipf-bounded); scoring joins the exploded token stream back to it
-    on the token key.  At corpus scale the vocabulary head is tiny and
-    hot — AQE skew handling or a broadcast top-K + residual join (the
-    split q_tokenize_to_ids uses) keeps the scoring join balanced."""
+    Scale shape: the token stream is exploded ONCE into a per-(doc,tok)
+    count table (map-side combine shrinks the shuffle to distinct-
+    tokens-per-doc), which feeds both the model aggregate and the
+    scoring join.  The scoring join itself is split: the zipf HEAD
+    (top-64k tokens, ~all the mass) is a broadcast map-side join — a
+    plain shuffle join on the token key puts every occurrence of 'the'
+    in one task — and only the tail residual shuffles, on rare (hence
+    unskewed) keys.  Scoring weights each (doc,tok) row by its count,
+    so the join is distinct-tokens-sized, not occurrence-sized."""
+    top_k = 1 << 16
     d = _read_wide(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(F.expr(_TOKS)).alias("tok"))
-    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    dt = (toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+          .persist())
+    vocab = dt.groupBy("tok").agg(F.sum("c").alias("cnt")).persist()
     total = vocab.agg(F.sum("cnt").cast("double").alias("total"))
+    # TakeOrdered top-K (no global sort); deterministic tie-break
+    head = vocab.orderBy(F.desc("cnt"), F.asc("tok")).limit(top_k)
+    scored = (dt.join(F.broadcast(head), "tok")
+              .unionByName(
+                  dt.join(F.broadcast(head.select("tok")),
+                          "tok", "left_anti")
+                  .join(vocab, "tok")))
     bits = -F.log2(F.col("cnt") / F.col("total"))
-    return (toks.join(vocab, "tok")
-            .crossJoin(F.broadcast(total))
+    return (scored.crossJoin(F.broadcast(total))
             .groupBy("doc_id")
-            .agg(F.count("*").cast("long").alias("n_tokens"),
-                 F.round(F.avg(bits), 4).alias("bits_per_token")))
+            .agg(F.sum("c").cast("long").alias("n_tokens"),
+                 F.round(F.sum(F.col("c") * bits) / F.sum("c"), 4)
+                 .alias("bits_per_token")))
 
 
 _SHARD_SIZE = 50
@@ -2101,35 +2115,44 @@ def q_tokenize_to_ids(spark, sf_dir):
     Per doc: token count, OOV count, md5 of the space-joined id
     sequence (order-preserving, so the hash pins the full encoding).
 
-    Scale shape: the vocab is TakeOrdered-K (bounded, broadcast); the
-    corpus side explodes tokens with their position once, broadcast-
-    left-joins the vocab, and one groupBy(doc_id) reassembles — the
-    same explode/reassemble discipline as the boilerplate strip; no
-    corpus-vs-corpus shuffle."""
+    Scale shape: the vocab is TakeOrdered-K (bounded, broadcast) and is
+    folded into a single map literal (map_from_entries over the K
+    entries) that a broadcast nested-loop join attaches to every
+    partition; the encode itself is then a per-doc higher-order
+    transform over the token ARRAY — ONE narrow map stage, no token
+    explode and no occurrence-sized reassemble shuffle (the previous
+    shape shuffled every (doc,pos,tok_id) row back through a
+    collect_list + per-doc sort).  Bounded by vocab size: the map copy
+    rides along per in-flight row, fine to ~100k entries; a
+    multi-million-entry vocab flips back to explode + broadcast-hash-
+    join + windowed reassemble."""
     d = _read_wide(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.posexplode(F.expr(_TOKS))
-                    .alias("pos", "token"))
-    vocab = (toks.groupBy("token")
+    docs = d.select("doc_id", F.expr(_TOKS).alias("ts"))
+    vocab = (docs.select(F.explode("ts").alias("token"))
+             .groupBy("token")
              .agg(F.count("*").alias("cnt"))
              .orderBy(F.desc("cnt"), F.asc("token"))
              .limit(_TOKENIZE_VOCAB_K)
              .select("token", F.row_number().over(
                  Window.orderBy(F.desc("cnt"), F.asc("token")))
                  .cast("long").alias("tok_id")))
-    ids = (toks.join(F.broadcast(vocab), "token", "left")
-           .select("doc_id", "pos",
-                   F.coalesce("tok_id", F.lit(0).cast("long"))
-                   .alias("tok_id")))
-    return (ids.groupBy("doc_id")
-            .agg(F.count("*").cast("long").alias("n_tokens"),
-                 F.sum(F.when(F.col("tok_id") == 0, 1).otherwise(0))
-                 .cast("long").alias("n_oov"),
-                 F.md5(F.array_join(
-                     F.transform(
-                         F.array_sort(F.collect_list(
-                             F.struct("pos", "tok_id"))),
-                         lambda s: s["tok_id"].cast("string")),
-                     " ")).alias("ids_md5")))
+    vm = vocab.agg(F.map_from_entries(
+        F.collect_list(F.struct("token", "tok_id"))).alias("vm"))
+    ids = F.transform(
+        "ts", lambda t: F.coalesce(F.element_at("vm", t),
+                                   F.lit(0).cast("long")))
+    return (docs.where(F.size("ts") > 0)
+            .crossJoin(F.broadcast(vm))
+            .select("doc_id",
+                    F.size("ts").cast("long").alias("n_tokens"),
+                    ids.alias("ids"))
+            .select("doc_id", "n_tokens",
+                    F.size(F.filter("ids", lambda x: x == 0))
+                    .cast("long").alias("n_oov"),
+                    F.md5(F.array_join(
+                        F.transform("ids",
+                                    lambda x: x.cast("string")),
+                        " ")).alias("ids_md5")))
 
 
 def q_kg_degree_distribution(spark, sf_dir):

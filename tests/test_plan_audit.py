@@ -322,6 +322,20 @@ def test_lsh_prod_caps_hot_buckets(spark):
     assert plan.count("LeftSemi") >= 2
 
 
+def test_tokenize_to_ids_encode_is_narrow(spark):
+    """The id-encode must be a NARROW map stage over the token array
+    (map-literal lookup via a broadcast nested-loop join): the only
+    shuffles in the plan belong to the bounded vocab build (token agg +
+    its map fold), and nothing re-aggregates by doc_id — the previous
+    shape shuffled every (doc, pos, tok_id) occurrence back through a
+    collect_list."""
+    df = Q.q_tokenize_to_ids(spark, SF)
+    plan = plans.explain_str(df, mode="simple")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plans.shuffle_exchange_count(df) <= 2  # vocab subtree only
+    assert "keys=[doc_id" not in plan
+
+
 def test_simhash_prod_caps_hot_buckets(spark):
     """The production simhash banding must filter hot buckets through
     the count<=cap semi-join BEFORE the band self-join (on the 100k
