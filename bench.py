@@ -168,6 +168,46 @@ def kg_bench(cores: int, pages: int) -> dict:
     return {"sec": round(wall, 3), "docs_per_sec": round(n / wall, 1)}
 
 
+def docs_bench_one(cores: int, n_docs: int) -> dict:
+    """Steady-state throughput of the composed web-corpus scrub chain
+    (URL dedup ∥ boilerplate strip -> PII redact -> quality cascade)
+    over the synthesized n_docs corpus at one parallelism level —
+    the webtext twin of kg_bench for the north-rule scaling evidence.
+    Warmup at n/8, then best-of-3."""
+    import tempfile
+
+    from ferenda_spark import queries as Q
+    from ferenda_spark.fixtures.documents import documents_df_dist
+    from ferenda_spark.session import get_spark
+
+    spark = get_spark(f"bench_docs_{cores}", cores=cores,
+                      shuffle_partitions=max(cores, 8))
+    fn = Q.registry_extra()["web_corpus_scrub_chain"]
+    with tempfile.TemporaryDirectory() as td:
+        (documents_df_dist(spark, n_docs)
+         .write.mode("overwrite").parquet(f"{td}/documents.parquet"))
+        (documents_df_dist(spark, max(n_docs // 8, 500))
+         .write.mode("overwrite").parquet(f"{td}/warm/documents.parquet"))
+        _noop_write(fn(spark, f"{td}/warm"))  # warmup
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            _noop_write(fn(spark, td))
+            best = min(best, time.time() - t0)
+    spark.stop()
+    return {"sec": round(best, 3), "docs_per_sec": round(n_docs / best, 1)}
+
+
+def docs_bench_subprocess(cores: int, n_docs: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--docs-only",
+         str(cores), str(n_docs)],
+        capture_output=True, text=True, timeout=1200,
+        cwd=os.path.dirname(os.path.abspath(__file__)))
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
 def cpu_ceiling(lo: int = 8, hi: int = 32) -> dict:
     """The MACHINE's achievable scaling for pure-CPU multiprocessing
     work between the two parallelism levels (frequency scaling and
@@ -284,6 +324,23 @@ def main():
                     "kg_pages": KG_PAGES}
     if docs_bench:
         extras["docs_bench"] = docs_bench
+
+    # webtext scaling pair (opt-in: adds ~3 min of subprocesses; the
+    # one-off numbers live in BASELINE.md so the per-round driver
+    # bench stays bounded)
+    if os.environ.get("SPARK_GRAFT_DOCS_SCALING", "0") != "0" and n_docs:
+        dr_hi = docs_bench_subprocess(CPUS, n_docs)
+        dr_lo = docs_bench_subprocess(8, n_docs)
+        speedup = dr_lo["sec"] / dr_hi["sec"]
+        extras["docs_scaling"] = {
+            "job": "web_corpus_scrub_chain", "n_docs": n_docs,
+            "cores_low": 8, "cores_high": CPUS,
+            "sec_low": dr_lo["sec"], "sec_high": dr_hi["sec"],
+            "docs_per_sec_low": dr_lo["docs_per_sec"],
+            "docs_per_sec_high": dr_hi["docs_per_sec"],
+            "speedup": round(speedup, 3),
+            "efficiency": round(speedup / (CPUS / 8), 3),
+        }
     if res_lo:
         def pair(lo, hi, r_lo, r_hi):
             speedup = r_lo["sec"] / r_hi["sec"]
@@ -321,5 +378,8 @@ def main():
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--kg-only":
         print(json.dumps(kg_bench(int(sys.argv[2]), int(sys.argv[3]))))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--docs-only":
+        print(json.dumps(docs_bench_one(int(sys.argv[2]),
+                                        int(sys.argv[3]))))
     else:
         main()
