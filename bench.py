@@ -111,6 +111,7 @@ DOCS_BENCH_QUERIES = [
     "dedup_substring_spans",
     "dedup_boilerplate_lines",
     "quality_lm_bits",
+    "dsir_importance",
     "corpus_prepare_chain",
     "web_corpus_scrub_chain",
     "tokenize_to_ids",

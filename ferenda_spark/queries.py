@@ -747,6 +747,54 @@ def q_corpus_filter_cascade(spark, sf_dir):
                     F.col("fail_reason").isNull().alias("keep")))
 
 
+_DSIR_BUCKETS = 1024
+
+
+def q_dsir_importance(spark, sf_dir):
+    """DSIR-style data selection (Xie et al., NeurIPS 2023 — "Data
+    Selection for Language Models via Importance Resampling"): hashed
+    unigram features, bag-of-buckets unigram LMs for a TARGET
+    distribution (here lang='en' — selecting raw docs whose token
+    distribution matches the English target) and the RAW distribution
+    (everything else), and a per-doc importance log-ratio
+    sum_b c_b(doc) * (log p_b - log q_b) with +1 smoothing;
+    selected = log-ratio > 0 (likelier under target than raw).
+
+    Scale shape: ONE explode into a (doc, bucket) count table with
+    map-side combine (bucket ids are longs hashed pre-shuffle, same
+    discipline as the shingle tables); both bucket LMs derive from that
+    pre-agg and are <= _DSIR_BUCKETS rows, folded into one broadcast
+    scoring table; the scoring join is a broadcast hash join on the
+    bucket id, weighted by counts so it is distinct-buckets-per-doc
+    sized."""
+    d = _read_wide(spark, sf_dir, "documents")
+    db = (d.select("doc_id", (F.col("lang") == "en").alias("tgt"),
+                   F.explode(F.expr(_TOKS)).alias("tok"))
+          .select("doc_id", "tgt",
+                  F.pmod(_h(F.col("tok")), F.lit(_DSIR_BUCKETS))
+                  .alias("b"))
+          .groupBy("doc_id", "tgt", "b").agg(F.count("*").alias("c"))
+          .persist())
+    lm = (db.groupBy("b")
+          .agg(F.sum(F.when(F.col("tgt"), F.col("c")).otherwise(0))
+               .alias("tc"),
+               F.sum(F.when(~F.col("tgt"), F.col("c")).otherwise(0))
+               .alias("rc")))
+    tot = lm.agg(F.sum("tc").cast("double").alias("tt"),
+                 F.sum("rc").cast("double").alias("rt"))
+    ratio = lm.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (F.log(F.col("tc") + 1) - F.log(F.col("tt") + _DSIR_BUCKETS)
+         - F.log(F.col("rc") + 1) + F.log(F.col("rt") + _DSIR_BUCKETS))
+        .alias("lr"))
+    return (db.join(F.broadcast(ratio), "b")
+            .groupBy("doc_id")
+            .agg(F.sum("c").cast("long").alias("n_feats"),
+                 F.round(F.sum(F.col("c") * F.col("lr")), 4)
+                 .alias("log_ratio"))
+            .withColumn("selected", F.col("log_ratio") > 0))
+
+
 def q_corpus_mixture_report(spark, sf_dir):
     """Corpus mixture report: per (source, lang) doc/token totals plus
     each cell's share of all corpus tokens in basis points — the table a
@@ -2611,6 +2659,33 @@ SELECT doc_id, n AS n_tokens, fail_reason, fail_reason IS NULL AS keep
 FROM r
 """
 
+ORACLE["dsir_importance"] = f"""
+WITH toks AS (
+  SELECT doc_id, lang = 'en' AS tgt,
+         unnest({_TOKS_SQL}) AS tok
+  FROM documents
+), db AS (
+  SELECT doc_id, tgt,
+         {_H_SQL.format(x='tok')} % {_DSIR_BUCKETS} AS b,
+         count(*) AS c
+  FROM toks GROUP BY doc_id, tgt, b
+), lm AS (
+  SELECT b, sum(CASE WHEN tgt THEN c ELSE 0 END) AS tc,
+         sum(CASE WHEN NOT tgt THEN c ELSE 0 END) AS rc
+  FROM db GROUP BY b
+), tot AS (
+  SELECT sum(tc)::DOUBLE AS tt, sum(rc)::DOUBLE AS rt FROM lm
+), ratio AS (
+  SELECT b, ln(tc + 1) - ln(tt + {_DSIR_BUCKETS})
+          - ln(rc + 1) + ln(rt + {_DSIR_BUCKETS}) AS lr
+  FROM lm, tot
+)
+SELECT db.doc_id, sum(c)::BIGINT AS n_feats,
+       round(sum(c * lr), 4) AS log_ratio,
+       round(sum(c * lr), 4) > 0 AS selected
+FROM db JOIN ratio USING (b) GROUP BY db.doc_id
+"""
+
 ORACLE["corpus_mixture_report"] = f"""
 WITH g AS (
   SELECT source, lang, count(*)::BIGINT AS n_docs,
@@ -3668,6 +3743,7 @@ def registry_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_lsh_pairs_prod": q_dedup_lsh_pairs_prod,
         "dedup_simhash_band_pairs_prod": q_dedup_simhash_band_pairs_prod,
+        "dsir_importance": q_dsir_importance,
         "dedup_keep_canonical": q_dedup_keep_canonical,
         "dedup_lsh_incremental": q_dedup_lsh_incremental,
         "seq_pack_assign": q_seq_pack_assign,

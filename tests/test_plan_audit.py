@@ -322,6 +322,15 @@ def test_lsh_prod_caps_hot_buckets(spark):
     assert plan.count("LeftSemi") >= 2
 
 
+def test_dsir_scoring_join_broadcasts(spark):
+    """DSIR's per-doc scoring join must be a broadcast hash join on the
+    bucket id (the LM ratio table is <= _DSIR_BUCKETS rows) — never a
+    corpus-vs-corpus shuffle — and the (doc,bucket) pre-agg must be the
+    only corpus-sized aggregate."""
+    df = Q.q_dsir_importance(spark, SF)
+    assert plans.has_broadcast_hash_join(df)
+
+
 def test_tokenize_to_ids_encode_is_narrow(spark):
     """The id-encode must be a NARROW map stage over the token array
     (map-literal lookup via a broadcast nested-loop join): the only
