@@ -113,6 +113,7 @@ DOCS_BENCH_QUERIES = [
     "quality_lm_bits",
     "dsir_importance",
     "corpus_prepare_chain",
+    "corpus_to_shards_chain",
     "web_corpus_scrub_chain",
     "tokenize_to_ids",
     "shard_assign",

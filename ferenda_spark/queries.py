@@ -530,7 +530,7 @@ def q_dedup_simhash_band_pairs_prod(spark, sf_dir):
                                       max_hamming=3)
 
 
-def q_dedup_clusters(spark, sf_dir):
+def q_dedup_clusters(spark, sf_dir, pairs_fn=None):
     """Near-duplicate CLUSTERS: connected components over the LSH
     candidate-pair graph (HashMin label propagation — each step every
     node takes the min label in its closed neighborhood; two hops per
@@ -538,7 +538,9 @@ def q_dedup_clusters(spark, sf_dir):
     a per-round change count).  The edge set is the banded LSH
     candidates, never all-pairs —
     at 10^9 docs this is the dedup-group materialization step after
-    candidate generation.
+    candidate generation.  `pairs_fn` selects the edge generator
+    (default: the demo LSH banding; the shards chain passes the
+    production config).
 
     Output: (doc_id, cluster_id) with cluster_id = min doc_id of the
     component; singletons keep their own id."""
@@ -546,7 +548,7 @@ def q_dedup_clusters(spark, sf_dir):
     # (localCheckpoint): without it the logical plan doubles per round
     # and planning time dwarfs execution — the standard Spark iterative-
     # algorithm discipline (same as operators/kmeans.py)
-    pairs = (q_dedup_lsh_pairs(spark, sf_dir)
+    pairs = ((pairs_fn or q_dedup_lsh_pairs)(spark, sf_dir)
              .select("doc_a", "doc_b").localCheckpoint())
     d = _read(spark, sf_dir, "documents").select("doc_id")
     # symmetric closed-neighborhood edges (self-loops keep isolated
@@ -1062,6 +1064,49 @@ def q_corpus_prepare_chain(spark, sf_dir):
          .rowsBetween(Window.unboundedPreceding, -1))
     pre = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
     return sampled.select(
+        "doc_id", "source", "n_tokens",
+        F.floor(pre / _PACK_BUDGET).cast("long").alias("pack_id"),
+        (pre % _PACK_BUDGET).cast("long").alias("pack_offset"))
+
+
+def q_corpus_to_shards_chain(spark, sf_dir):
+    """The COMPLETE raw-corpus -> training-shards path, composing the
+    three heavyweight selection stages with the packing step: near-dup
+    KEEP (one canonical doc per LSH-candidate connected component) ∩
+    benchmark decontamination (drop any doc sharing a 6-gram with the
+    eval set — eval docs themselves are self-hits and drop out, which
+    is exactly right) ∩ DSIR importance selection (log-ratio > 0
+    against the target LM) -> concat-and-chunk sequence packing of the
+    survivors.  Together with q_web_corpus_scrub_chain (upstream
+    scrubbing) and q_corpus_prepare_chain (cascade/sample/pack), this
+    is the full RefinedWeb-style pipeline as engine entries.
+
+    Scale shape: the three keep-sets arrive as doc_id semi-joins on a
+    shared join key (AQE coalesces them); clustering is the one
+    iterative stage (localCheckpoint rounds, see q_dedup_clusters); the
+    decontamination and DSIR subtrees are broadcast-scored as in their
+    standalone queries; packing reuses the per-source window.
+    Clustering runs over the PRODUCTION LSH pair config (r=4 banding +
+    hot-bucket cap) — the demo r=2 banding's junk candidates would both
+    blow up the pair join at corpus scale and over-merge clusters."""
+    labels = q_dedup_clusters(spark, sf_dir,
+                              pairs_fn=q_dedup_lsh_pairs_prod)
+    canon = (labels.where(F.col("doc_id") == F.col("cluster_id"))
+             .select("doc_id"))
+    clean = (q_decontaminate_ngrams(spark, sf_dir)
+             .where(~F.col("contaminated")).select("doc_id"))
+    sel = (q_dsir_importance(spark, sf_dir)
+           .where(F.col("selected")).select("doc_id"))
+    d = _read_wide(spark, sf_dir, "documents")
+    base = d.select("doc_id", "source",
+                    F.size(F.expr(_TOKS)).cast("long").alias("n_tokens"))
+    kept = (base.join(canon, "doc_id", "left_semi")
+            .join(clean, "doc_id", "left_semi")
+            .join(sel, "doc_id", "left_semi"))
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    pre = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    return kept.select(
         "doc_id", "source", "n_tokens",
         F.floor(pre / _PACK_BUDGET).cast("long").alias("pack_id"),
         (pre % _PACK_BUDGET).cast("long").alias("pack_offset"))
@@ -2507,6 +2552,63 @@ SELECT d.doc_id, d.source, c.n_members, c.n_members > 1 AS is_dup_cluster
 FROM documents d JOIN clusters c ON d.doc_id = c.cluster_id
 """
 
+ORACLE["corpus_to_shards_chain"] = f"""
+WITH RECURSIVE {_lsh_pairs_ctes(16, 4, 4, 0.5, bucket_cap=256)},
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
+          UNION SELECT doc_b, doc_a FROM lsh_pairs),
+reach(doc, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.doc = e.dst
+),
+labels AS (
+  SELECT doc AS doc_id, min(lab)::BIGINT AS cluster_id
+  FROM reach GROUP BY doc),
+canon AS (SELECT doc_id FROM labels WHERE doc_id = cluster_id),
+g AS (SELECT DISTINCT doc_id,
+        ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] ||
+        ' ' || ts[i+4] || ' ' || ts[i+5] AS gram
+      FROM toks, unnest(range(1, len(ts) - 4)) AS t(i)
+      WHERE len(ts) >= 6),
+ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+dirty AS (SELECT DISTINCT g.doc_id FROM g JOIN ev USING (gram)),
+utoks AS (
+  SELECT t.doc_id, d.lang = 'en' AS tgt, unnest(t.ts) AS tok
+  FROM toks t JOIN documents d USING (doc_id)),
+db AS (
+  SELECT doc_id, tgt,
+         {_H_SQL.format(x='tok')} % {_DSIR_BUCKETS} AS b,
+         count(*) AS c
+  FROM utoks GROUP BY doc_id, tgt, b),
+lm AS (
+  SELECT b, sum(CASE WHEN tgt THEN c ELSE 0 END) AS tc,
+         sum(CASE WHEN NOT tgt THEN c ELSE 0 END) AS rc
+  FROM db GROUP BY b),
+tot AS (SELECT sum(tc)::DOUBLE AS tt, sum(rc)::DOUBLE AS rt FROM lm),
+ratio AS (
+  SELECT b, ln(tc + 1) - ln(tt + {_DSIR_BUCKETS})
+          - ln(rc + 1) + ln(rt + {_DSIR_BUCKETS}) AS lr
+  FROM lm, tot),
+dsel AS (
+  SELECT db.doc_id FROM db JOIN ratio USING (b)
+  GROUP BY db.doc_id HAVING round(sum(c * lr), 4) > 0),
+kept AS (
+  SELECT t.doc_id, d.source, len(t.ts)::BIGINT AS n_tokens
+  FROM toks t JOIN documents d USING (doc_id)
+  WHERE t.doc_id IN (SELECT doc_id FROM canon)
+    AND t.doc_id NOT IN (SELECT doc_id FROM dirty)
+    AND t.doc_id IN (SELECT doc_id FROM dsel)),
+p AS (
+  SELECT *, coalesce(sum(n_tokens) OVER (
+      PARTITION BY source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+  FROM kept)
+SELECT doc_id, source, n_tokens,
+       (pre // {_PACK_BUDGET})::BIGINT AS pack_id,
+       (pre % {_PACK_BUDGET})::BIGINT AS pack_offset
+FROM p
+"""
+
 _sim_bits_sql = ", ".join(
     f"sum(CASE WHEN (h{1 + i // 32} >> {i % 32}) & 1 = 1 "
     f"THEN 1 ELSE -1 END) AS s{i}"
@@ -3744,6 +3846,7 @@ def registry_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_pairs_prod": q_dedup_lsh_pairs_prod,
         "dedup_simhash_band_pairs_prod": q_dedup_simhash_band_pairs_prod,
         "dsir_importance": q_dsir_importance,
+        "corpus_to_shards_chain": q_corpus_to_shards_chain,
         "dedup_keep_canonical": q_dedup_keep_canonical,
         "dedup_lsh_incremental": q_dedup_lsh_incremental,
         "seq_pack_assign": q_seq_pack_assign,
