@@ -117,6 +117,7 @@ DOCS_BENCH_QUERIES = [
     "web_corpus_scrub_chain",
     "tokenize_to_ids",
     "shard_assign",
+    "dedup_semantic_prod",
 ]
 
 
@@ -299,10 +300,13 @@ def main():
         import tempfile
 
         from ferenda_spark.fixtures.documents import documents_df_dist
+        from ferenda_spark.fixtures.embeddings import embeddings_df_dist
 
         with tempfile.TemporaryDirectory() as td:
             (documents_df_dist(spark, n_docs)
              .write.mode("overwrite").parquet(f"{td}/documents.parquet"))
+            (embeddings_df_dist(spark, n_docs)
+             .write.mode("overwrite").parquet(f"{td}/embeddings.parquet"))
             dq: dict = {}
             for name in DOCS_BENCH_QUERIES:
                 best = float("inf")

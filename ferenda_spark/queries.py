@@ -1813,6 +1813,75 @@ def q_dedup_semantic(spark, sf_dir):
                     .alias("is_semdup")))
 
 
+_SEMDEDUP_K = 256
+_SEMDEDUP_TAU_PROD = 0.97
+
+
+def q_dedup_semantic_prod(spark, sf_dir):
+    """The PRODUCTION SemDeDup configuration: K=256 coarse cells and
+    Arrow-batched numpy kernels for the dense math.  SemDeDup's recipe
+    grows K with the corpus so each cell stays pairwise-tractable
+    (cells of c docs are c^2 in comparisons); at K=256 the demo's
+    broadcast-everything join and the JVM higher-order-function cosine
+    both stop making sense — assignment is 256 dot products per vector
+    and the within-cell pairwise is a dense c x c Gram matrix, exactly
+    the workloads vectorized Arrow batches exist for (the ONE place
+    this engine drops to Python in a hot path: dense linear algebra,
+    where numpy's BLAS beats interpreted JVM lambdas by orders of
+    magnitude).
+
+    Scale shape: only the K centroid rows ever reach the driver (same
+    contract as operators/kmeans.py); assignment is a narrow
+    mapInPandas with the (K x dim) matrix broadcast; the only shuffle
+    is the applyInPandas groupBy(cell), cell-count-bounded parallelism;
+    pairs above tau=0.97 are filtered INSIDE the kernel so only
+    near-dup pairs ever leave a task.  Centroids are the deterministic
+    vec_id < K stand-ins so the DuckDB oracle reproduces the
+    assignment (the centroid refresh job is operators/kmeans.py)."""
+    import numpy as np
+    import pandas as pd
+
+    e = _vec(spark, sf_dir)
+    cent = (e.where(f"vec_id < {_SEMDEDUP_K}").orderBy("vec_id")
+            .collect())  # bounded: K rows, never the vector table
+    cm = np.array([r.v for r in cent], dtype=np.float64)
+    cids = np.array([r.vec_id for r in cent], dtype=np.int64)
+    cn = np.sqrt((cm * cm).sum(axis=1))
+    bc = spark.sparkContext.broadcast((cm, cids, cn))
+
+    def assign(batches):
+        cm, cids, cn = bc.value
+        for pdf in batches:
+            x = np.array(pdf["v"].tolist(), dtype=np.float64)
+            xn = np.sqrt((x * x).sum(axis=1))
+            cos = (x @ cm.T) / np.outer(xn, cn)
+            out = pdf[["vec_id", "v"]].copy()
+            out["cell"] = cids[cos.argmax(axis=1)]
+            yield out
+
+    assigned = e.mapInPandas(
+        assign, "vec_id long, v array<double>, cell long")
+
+    def pair_kernel(pdf):
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        x = np.array(pdf["v"].tolist(), dtype=np.float64)[order]
+        n = np.sqrt((x * x).sum(axis=1))
+        g = (x @ x.T) / np.outer(n, n)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        cos = np.round(g[ia, ib], 3)
+        keep = cos >= _SEMDEDUP_TAU_PROD
+        return pd.DataFrame({
+            "cell": np.full(int(keep.sum()), pdf["cell"].iloc[0],
+                            dtype=np.int64),
+            "vec_a": ids[ia[keep]], "vec_b": ids[ib[keep]],
+            "cos": cos[keep]})
+
+    return assigned.groupBy("cell").applyInPandas(
+        pair_kernel, "cell long, vec_a long, vec_b long, cos double")
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF-style ANN (scale path): vectors are assigned to the nearest of
     4 fixed centroids (coarse quantizer), and each query searches only
@@ -3373,6 +3442,31 @@ asg AS (
                       c.cent_id ASC) AS rn
     FROM e CROSS JOIN cent c) WHERE rn = 1)"""
 
+ORACLE["dedup_semantic_prod"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cent_id, v AS cv FROM e
+         WHERE vec_id < {_SEMDEDUP_K}),
+asg AS (
+  SELECT vec_id, v, cent_id AS cell FROM (
+    SELECT e.vec_id, e.v, c.cent_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, c.cv)
+                      / (sqrt(list_dot_product(e.v, e.v))
+                         * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                      c.cent_id ASC) AS rn
+    FROM e CROSS JOIN cent c) WHERE rn = 1)
+SELECT a.cell::BIGINT AS cell, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))), 3) AS cos
+FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v))), 3)
+      >= {_SEMDEDUP_TAU_PROD}
+"""
+
 ORACLE["dedup_semantic"] = f"""
 WITH {_IVF_ASG_CTES},
 dup AS (
@@ -3847,6 +3941,7 @@ def registry_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_band_pairs_prod": q_dedup_simhash_band_pairs_prod,
         "dsir_importance": q_dsir_importance,
         "corpus_to_shards_chain": q_corpus_to_shards_chain,
+        "dedup_semantic_prod": q_dedup_semantic_prod,
         "dedup_keep_canonical": q_dedup_keep_canonical,
         "dedup_lsh_incremental": q_dedup_lsh_incremental,
         "seq_pack_assign": q_seq_pack_assign,
