@@ -118,6 +118,7 @@ DOCS_BENCH_QUERIES = [
     "tokenize_to_ids",
     "shard_assign",
     "dedup_semantic_prod",
+    "ann_ivf_topk_prod",
 ]
 
 

@@ -1817,6 +1817,36 @@ _SEMDEDUP_K = 256
 _SEMDEDUP_TAU_PROD = 0.97
 
 
+def _cell_assigned(spark, e: DataFrame) -> DataFrame:
+    """(vec_id, v, cell): nearest of the K=256 deterministic centroid
+    stand-ins (vec_id < K) by cosine, computed as one vectorized
+    (batch x K) matmul per Arrow batch.  Only the K centroid rows reach
+    the driver (operators/kmeans.py contract); ties break to the lower
+    centroid id (numpy argmax = first max), matching the oracle's
+    row_number order.  Shared by the production SemDeDup and IVF ANN
+    paths."""
+    import numpy as np
+
+    cent = (e.where(f"vec_id < {_SEMDEDUP_K}").orderBy("vec_id")
+            .collect())  # bounded: K rows, never the vector table
+    cm = np.array([r.v for r in cent], dtype=np.float64)
+    cids = np.array([r.vec_id for r in cent], dtype=np.int64)
+    cn = np.sqrt((cm * cm).sum(axis=1))
+    bc = spark.sparkContext.broadcast((cm, cids, cn))
+
+    def assign(batches):
+        cm, cids, cn = bc.value
+        for pdf in batches:
+            x = np.array(pdf["v"].tolist(), dtype=np.float64)
+            xn = np.sqrt((x * x).sum(axis=1))
+            cos = (x @ cm.T) / np.outer(xn, cn)
+            out = pdf[["vec_id", "v"]].copy()
+            out["cell"] = cids[cos.argmax(axis=1)]
+            yield out
+
+    return e.mapInPandas(assign, "vec_id long, v array<double>, cell long")
+
+
 def q_dedup_semantic_prod(spark, sf_dir):
     """The PRODUCTION SemDeDup configuration: K=256 coarse cells and
     Arrow-batched numpy kernels for the dense math.  SemDeDup's recipe
@@ -1842,25 +1872,7 @@ def q_dedup_semantic_prod(spark, sf_dir):
     import pandas as pd
 
     e = _vec(spark, sf_dir)
-    cent = (e.where(f"vec_id < {_SEMDEDUP_K}").orderBy("vec_id")
-            .collect())  # bounded: K rows, never the vector table
-    cm = np.array([r.v for r in cent], dtype=np.float64)
-    cids = np.array([r.vec_id for r in cent], dtype=np.int64)
-    cn = np.sqrt((cm * cm).sum(axis=1))
-    bc = spark.sparkContext.broadcast((cm, cids, cn))
-
-    def assign(batches):
-        cm, cids, cn = bc.value
-        for pdf in batches:
-            x = np.array(pdf["v"].tolist(), dtype=np.float64)
-            xn = np.sqrt((x * x).sum(axis=1))
-            cos = (x @ cm.T) / np.outer(xn, cn)
-            out = pdf[["vec_id", "v"]].copy()
-            out["cell"] = cids[cos.argmax(axis=1)]
-            yield out
-
-    assigned = e.mapInPandas(
-        assign, "vec_id long, v array<double>, cell long")
+    assigned = _cell_assigned(spark, e)
 
     def pair_kernel(pdf):
         ids = pdf["vec_id"].to_numpy()
@@ -1880,6 +1892,43 @@ def q_dedup_semantic_prod(spark, sf_dir):
 
     return assigned.groupBy("cell").applyInPandas(
         pair_kernel, "cell long, vec_a long, vec_b long, cos double")
+
+
+_IVF_NPROBE = 8
+
+
+def q_ann_ivf_topk_prod(spark, sf_dir):
+    """The PRODUCTION IVF ANN configuration: K=256 cells (the
+    _cell_assigned quantizer shared with SemDeDup) and nprobe=8 — each
+    query scores only the vectors in its 8 nearest cells, ~K/nprobe
+    = 32x less work than brute force, with multi-cell probing buying
+    back the recall a single cell loses at boundaries (the standard
+    IVF recall/latency dial).
+
+    Scale shape: the corpus side is the mapInPandas cell assignment
+    (one narrow pass); the probe list is (queries x nprobe) rows from a
+    queries-x-centroids broadcast join (both sides bounded); candidate
+    scoring shuffles only the probed cells' vectors — the per-query
+    candidate set is corpus/K * nprobe, independent of corpus size."""
+    e = _vec(spark, sf_dir)
+    assigned = _cell_assigned(spark, e)
+    q = (e.where("vec_id < 5")
+         .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv")))
+    cent = (e.where(f"vec_id < {_SEMDEDUP_K}")
+            .select(F.col("vec_id").alias("cell"), F.col("v").alias("cv")))
+    wq = Window.partitionBy("qid").orderBy(F.desc("cos_c"), F.asc("cell"))
+    probe = (q.join(F.broadcast(cent))
+             .withColumn("cos_c", _cos(F.col("qv"), F.col("cv")))
+             .withColumn("pr", F.row_number().over(wq))
+             .where(F.col("pr") <= _IVF_NPROBE)
+             .select("qid", "qv", "cell"))
+    cand = (F.broadcast(probe).join(assigned, "cell")
+            .where(F.col("qid") != F.col("vec_id"))
+            .withColumn("cos", F.round(_cos(F.col("qv"), F.col("v")), 3)))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (cand.select("qid", F.col("vec_id").alias("cid"), "cos",
+                        F.row_number().over(w).cast("long").alias("rn"))
+            .where(F.col("rn") <= 3))
 
 
 def q_ann_ivf_topk(spark, sf_dir):
@@ -3467,6 +3516,44 @@ WHERE round(list_dot_product(a.v, b.v)
       >= {_SEMDEDUP_TAU_PROD}
 """
 
+ORACLE["ann_ivf_topk_prod"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cent_id, v AS cv FROM e
+         WHERE vec_id < {_SEMDEDUP_K}),
+asg AS (
+  SELECT vec_id, v, cent_id AS cell FROM (
+    SELECT e.vec_id, e.v, c.cent_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, c.cv)
+                      / (sqrt(list_dot_product(e.v, e.v))
+                         * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                      c.cent_id ASC) AS rn
+    FROM e CROSS JOIN cent c) WHERE rn = 1),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+probe AS (
+  SELECT qid, qv, cell FROM (
+    SELECT q.qid, q.qv, c.cent_id AS cell,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY list_dot_product(q.qv, c.cv)
+                      / (sqrt(list_dot_product(q.qv, q.qv))
+                         * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                      c.cent_id ASC) AS pr
+    FROM q CROSS JOIN cent c) WHERE pr <= {_IVF_NPROBE}),
+cand AS (
+  SELECT p.qid, a.vec_id AS cid,
+         round(list_dot_product(p.qv, a.v)
+               / (sqrt(list_dot_product(p.qv, p.qv))
+                  * sqrt(list_dot_product(a.v, a.v))), 3) AS cos
+  FROM probe p JOIN asg a ON a.cell = p.cell AND a.vec_id <> p.qid)
+SELECT qid, cid, cos, rn FROM (
+  SELECT qid, cid, cos,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos DESC, cid ASC)::BIGINT AS rn
+  FROM cand) WHERE rn <= 3
+"""
+
 ORACLE["dedup_semantic"] = f"""
 WITH {_IVF_ASG_CTES},
 dup AS (
@@ -3942,6 +4029,7 @@ def registry_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_importance": q_dsir_importance,
         "corpus_to_shards_chain": q_corpus_to_shards_chain,
         "dedup_semantic_prod": q_dedup_semantic_prod,
+        "ann_ivf_topk_prod": q_ann_ivf_topk_prod,
         "dedup_keep_canonical": q_dedup_keep_canonical,
         "dedup_lsh_incremental": q_dedup_lsh_incremental,
         "seq_pack_assign": q_seq_pack_assign,

@@ -46,6 +46,19 @@ def test_recovers_planted_near_dups(spark, emb_dir):
     assert len(extras) <= len(planted) * 0.1
 
 
+def test_ivf_prod_recall_vs_brute_force(spark, emb_dir):
+    """nprobe=8 IVF top-3 must recover (almost all of) the exact
+    brute-force top-3 on the clustered fixture — multi-cell probing is
+    what buys back boundary losses."""
+    ivf = {(r.qid, r.cid)
+           for r in Q.q_ann_ivf_topk_prod(spark, emb_dir).collect()}
+    brute = {(r.qid, r.cid)
+             for r in Q.q_ann_cosine_topk(spark, emb_dir).collect()}
+    assert brute, "brute-force baseline must produce rows"
+    recall = len(ivf & brute) / len(brute)
+    assert recall >= 0.9, f"recall@3 {recall:.2f}"
+
+
 def test_fixture_is_pure_in_seed_and_id(spark):
     a = gen_vec(4321)
     b = gen_vec(4321)
