@@ -27,6 +27,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
+from pyspark.sql.functions import col as F_col
 
 MEDIA_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
@@ -106,6 +107,78 @@ def extract_features(media: DataFrame) -> DataFrame:
     """media -> per-blob features.  Narrow map; blobs never shuffle."""
     return media.select("media_id", "kind", "payload").mapInPandas(
         _feature_batches, FEATURES_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("ts_s", T.DoubleType()),
+    T.StructField("frame_sha1", T.StringType()),
+    T.StructField("frame_feature", T.ArrayType(T.FloatType())),
+])
+
+
+def rechunk_by_bytes(batches: Iterator[pd.DataFrame],
+                     target_bytes: int) -> Iterator[pd.DataFrame]:
+    """Re-slice incoming Arrow batches so each processed chunk carries
+    at most ~target_bytes of payload — media rows vary by orders of
+    magnitude, and a row-count batch policy lets one batch of 4K videos
+    OOM a python worker while another holds a thousand icons.  A single
+    over-budget row still passes through alone (can't split a blob)."""
+    for pdf in batches:
+        sizes = pdf["payload"].map(
+            lambda p: len(p) if p is not None else 0)
+        start, acc = 0, 0
+        for i, s in enumerate(sizes):
+            if acc + int(s) > target_bytes and i > start:
+                yield pdf.iloc[start:i]
+                start, acc = i, 0
+            acc += int(s)
+        if start < len(pdf):
+            yield pdf.iloc[start:]
+
+
+def _decode_frames(payload: bytes, fps: float,
+                   max_frames: int) -> list[tuple[int, float, bytes]]:
+    """STUB — real impl would use pyav/ffmpeg (not in this container).
+    Deterministic fake: duration from the payload hash (same rule as
+    decode_audio), one frame every 1/fps seconds, frame bytes derived
+    from (payload hash, frame index)."""
+    if STRICT:
+        raise NotImplementedError("video decode requires pyav/ffmpeg")
+    h = hashlib.sha1(payload).digest()
+    dur = 1.0 + (struct.unpack(">H", h[:2])[0] % 600) / 10.0
+    n = min(max_frames, max(1, int(dur * fps)))
+    return [(k, round(k / fps, 3),
+             hashlib.sha1(h + struct.pack(">I", k)).digest())
+            for k in range(n)]
+
+
+def sample_frames(media: DataFrame, fps: float = 1.0,
+                  max_frames: int = 16,
+                  target_batch_bytes: int = 64 << 20) -> DataFrame:
+    """video rows -> per-frame rows (1->N fan-out inside the pandas
+    stage: the output yields MORE rows than the input batch, the batch
+    shape a real frame sampler has).  Still a narrow map — blobs never
+    shuffle; downstream joins use (media_id, frame_idx)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in rechunk_by_bytes(batches, target_batch_bytes):
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                for k, ts, fb in _decode_frames(data, fps, max_frames):
+                    rows.append({
+                        "media_id": mid, "frame_idx": k, "ts_s": ts,
+                        "frame_sha1": hashlib.sha1(fb).hexdigest(),
+                        "frame_feature": [x / 255.0 for x in fb[:8]],
+                    })
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAMES_SCHEMA.fields])
+
+    return (media.where(F_col("kind") == "video")
+            .select("media_id", "payload")
+            .mapInPandas(gen, FRAMES_SCHEMA))
 
 
 def synth_media_df(spark, n: int, seed: int = 42) -> DataFrame:

@@ -2491,6 +2491,27 @@ def q_multimodal_features(spark, sf_dir):
         feature_md5.alias("feature_md5"), "decode_ok", "error")
 
 
+def q_multimodal_frame_sample(spark, sf_dir):
+    """Multimodal frame sampling: video blobs fan out to per-frame rows
+    (1->N inside the Arrow stage, byte-budgeted batches — see
+    operators/multimodal.sample_frames; decode stubbed).  Not
+    SQL-expressible (pandas UDF) -> rows-only check; the per-frame
+    feature is projected to a stable md5 scalar like
+    q_multimodal_features."""
+    from ferenda_spark.operators.multimodal import (sample_frames,
+                                                    synth_media_df)
+    n = 600 if "0.1" in sf_dir else 200
+    media = synth_media_df(spark, n).repartition(
+        spark.sparkContext.defaultParallelism)
+    frames = sample_frames(media, fps=1.0, max_frames=16)
+    feature_md5 = F.md5(F.concat_ws(
+        ",", F.transform("frame_feature",
+                         lambda x: F.format_string("%.6f", x))))
+    return frames.select("media_id", "frame_idx",
+                         F.round("ts_s", 3).alias("ts_s"), "frame_sha1",
+                         feature_md5.alias("frame_feature_md5"))
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB dialect = ANSI here), keyed by query name
 
@@ -4030,6 +4051,7 @@ def registry_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_to_shards_chain": q_corpus_to_shards_chain,
         "dedup_semantic_prod": q_dedup_semantic_prod,
         "ann_ivf_topk_prod": q_ann_ivf_topk_prod,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
         "dedup_keep_canonical": q_dedup_keep_canonical,
         "dedup_lsh_incremental": q_dedup_lsh_incremental,
         "seq_pack_assign": q_seq_pack_assign,

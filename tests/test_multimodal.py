@@ -1,0 +1,58 @@
+"""Multimodal plumbing gates: the decode is stubbed (no media libs in
+this container) but the Spark-side contract — schemas, 1->N fan-out
+batch shape, byte-budget rechunking, determinism — is real and pinned
+here (these are the rows-only registry entries' determinism gate)."""
+
+import pandas as pd
+
+from ferenda_spark import queries as Q
+from ferenda_spark.operators.multimodal import (rechunk_by_bytes,
+                                                sample_frames,
+                                                synth_media_df)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_frame_sample_fans_out_and_is_deterministic(spark):
+    media = synth_media_df(spark, 60)
+    f1 = sample_frames(media, fps=1.0, max_frames=16).toPandas()
+    f2 = sample_frames(media, fps=1.0, max_frames=16).toPandas()
+    # only video rows fan out; every video yields 1..16 frames
+    n_videos = media.where("kind = 'video'").count()
+    per = f1.groupby("media_id").size()
+    assert len(per) == n_videos
+    assert per.between(1, 16).all()
+    assert len(f1) > n_videos  # genuine 1->N fan-out
+    key = ["media_id", "frame_idx"]
+    assert f1.sort_values(key).reset_index(drop=True).equals(
+        f2.sort_values(key).reset_index(drop=True))
+    # frame timestamps follow the fps grid
+    assert (f1["ts_s"] == f1["frame_idx"] / 1.0).all()
+
+
+def test_frame_sample_respects_max_frames(spark):
+    media = synth_media_df(spark, 60)
+    f = sample_frames(media, fps=2.0, max_frames=4).toPandas()
+    assert f.groupby("media_id").size().max() <= 4
+
+
+def test_rechunk_by_bytes_bounds_chunks():
+    pdf = pd.DataFrame({
+        "media_id": range(10),
+        "payload": [b"x" * (100 * (i + 1)) for i in range(10)],
+    })
+    chunks = list(rechunk_by_bytes(iter([pdf]), target_bytes=600))
+    # nothing lost or reordered
+    merged = pd.concat(chunks, ignore_index=True)
+    assert merged["media_id"].tolist() == list(range(10))
+    for c in chunks:
+        sizes = c["payload"].map(len)
+        # each chunk within budget unless it is a single over-budget row
+        assert sizes.sum() <= 600 or len(c) == 1
+
+
+def test_registry_query_runs_with_stable_schema(spark):
+    df = Q.q_multimodal_frame_sample(spark, SF)
+    assert df.columns == ["media_id", "frame_idx", "ts_s", "frame_sha1",
+                          "frame_feature_md5"]
+    assert df.count() > 0
