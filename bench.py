@@ -292,6 +292,9 @@ def main():
             _noop_write(reg[name](spark, SF_DIR))
             best = min(best, time.time() - t0)
         queries[name] = round(best, 3)
+        # queries persist() intermediates; drop them so query N+1 is
+        # measured against a clean executor cache, not N's leftovers
+        spark.catalog.clearCache()
 
     # scaled-corpus pass for the training-data ops (same session — never
     # two Spark jobs at once on this box)
@@ -316,6 +319,7 @@ def main():
                     _noop_write(reg[name](spark, td))
                     best = min(best, time.time() - t0)
                 dq[name] = round(best, 3)
+                spark.catalog.clearCache()
             docs_bench = {
                 "n_docs": n_docs,
                 "queries": dq,
