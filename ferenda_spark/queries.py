@@ -749,6 +749,31 @@ def q_corpus_filter_cascade(spark, sf_dir):
                     F.col("fail_reason").isNull().alias("keep")))
 
 
+def q_corpus_length_quantiles(spark, sf_dir):
+    """Per-source token-length distribution quantiles — the corpus
+    statistic a training pipeline reads to set packing budgets and
+    cascade thresholds (p95 drives the max-length cut, the IQR the
+    outlier fences).
+
+    Scale shape: Spark's exact `percentile` aggregate buffers a
+    value->count map, so memory is the DISTINCT-value count — token
+    lengths are bounded integers (thousands of distinct values at any
+    corpus size), so the exact form scales; for unbounded/continuous
+    columns the same query swaps in percentile_approx (t-digest) and
+    keeps the plan shape.  One partial-aggregated shuffle on source."""
+    d = _read_wide(spark, sf_dir, "documents")
+    t = d.select("source", F.size(F.expr(_TOKS)).cast("long").alias("n"))
+    pct = F.percentile("n", F.array(*[F.lit(x) for x in
+                                      (0.25, 0.5, 0.75, 0.95)]))
+    return (t.groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 pct.alias("q"))
+            .select("source", "n_docs",
+                    *[F.round(F.element_at("q", i + 1), 4)
+                      .alias(f"q{int(x * 100)}")
+                      for i, x in enumerate((0.25, 0.5, 0.75, 0.95))]))
+
+
 _DSIR_BUCKETS = 1024
 
 
@@ -2900,6 +2925,17 @@ SELECT doc_id, n AS n_tokens, fail_reason, fail_reason IS NULL AS keep
 FROM r
 """
 
+ORACLE["corpus_length_quantiles"] = f"""
+WITH t AS (
+  SELECT source, len({_TOKS_SQL})::BIGINT AS n FROM documents)
+SELECT source, count(*)::BIGINT AS n_docs,
+       round(quantile_cont(n, 0.25), 4) AS q25,
+       round(quantile_cont(n, 0.5), 4) AS q50,
+       round(quantile_cont(n, 0.75), 4) AS q75,
+       round(quantile_cont(n, 0.95), 4) AS q95
+FROM t GROUP BY source
+"""
+
 ORACLE["dsir_importance"] = f"""
 WITH toks AS (
   SELECT doc_id, lang = 'en' AS tgt,
@@ -4052,6 +4088,7 @@ def registry_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic_prod": q_dedup_semantic_prod,
         "ann_ivf_topk_prod": q_ann_ivf_topk_prod,
         "multimodal_frame_sample": q_multimodal_frame_sample,
+        "corpus_length_quantiles": q_corpus_length_quantiles,
         "dedup_keep_canonical": q_dedup_keep_canonical,
         "dedup_lsh_incremental": q_dedup_lsh_incremental,
         "seq_pack_assign": q_seq_pack_assign,
