@@ -4016,16 +4016,16 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_toc_pages_topn": q_facet_toc_pages_topn,
         "news_feeds_topn": q_news_feeds_topn,
         "status_report": q_status_report,
-        "events_props_extract": q_events_props_extract,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_signature": q_dedup_minhash_signature,
-        "dedup_lsh_pairs": q_dedup_lsh_pairs,
+        "dedup_lsh_pairs_prod": q_dedup_lsh_pairs_prod,
         "dedup_simhash": q_dedup_simhash,
-        "dedup_simhash_band_pairs": q_dedup_simhash_band_pairs,
+        "dedup_simhash_band_pairs_prod": q_dedup_simhash_band_pairs_prod,
         "ann_cosine_topk": q_ann_cosine_topk,
         "text_lang_id": q_text_lang_id,
         "text_quality_score": q_text_quality_score,
-        "text_token_count": q_text_token_count,
+        "dsir_importance": q_dsir_importance,
+        "corpus_to_shards_chain": q_corpus_to_shards_chain,
         "doc_fingerprint": q_doc_fingerprint,
         "coin_uri_mint": q_coin_uri_mint,
         "entity_link": q_entity_link,
@@ -4081,10 +4081,13 @@ def registry_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         "dedup_clusters": q_dedup_clusters,
-        "dedup_lsh_pairs_prod": q_dedup_lsh_pairs_prod,
-        "dedup_simhash_band_pairs_prod": q_dedup_simhash_band_pairs_prod,
-        "dsir_importance": q_dsir_importance,
-        "corpus_to_shards_chain": q_corpus_to_shards_chain,
+        # round-3 rotation (ADVICE r02): the production configs and the
+        # shards chain moved INTO the driver window; their demo twins
+        # keep local verification here
+        "dedup_lsh_pairs": q_dedup_lsh_pairs,
+        "dedup_simhash_band_pairs": q_dedup_simhash_band_pairs,
+        "text_token_count": q_text_token_count,
+        "events_props_extract": q_events_props_extract,
         "dedup_semantic_prod": q_dedup_semantic_prod,
         "ann_ivf_topk_prod": q_ann_ivf_topk_prod,
         "multimodal_frame_sample": q_multimodal_frame_sample,
