@@ -138,6 +138,46 @@ def rechunk_by_bytes(batches: Iterator[pd.DataFrame],
             yield pdf.iloc[start:]
 
 
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("orig_w", T.IntegerType()),
+    T.StructField("orig_h", T.IntegerType()),
+    T.StructField("new_w", T.IntegerType()),
+    T.StructField("new_h", T.IntegerType()),
+    T.StructField("resized_sha1", T.StringType()),
+])
+
+
+def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
+    """image rows -> aspect-preserving resize targets.  The dimension
+    math (fit the long side to max_side, never upscale, round the short
+    side, floor at 1px) is REAL; the pixel work is stubbed like the
+    decodes (real impl: PIL.thumbnail / cv2.resize inside the same
+    batch loop).  Narrow map; blobs never shuffle."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in batches:
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                w, h, _ = decode_image(data)
+                scale = min(1.0, max_side / max(w, h))
+                nw = max(1, int(round(w * scale)))
+                nh = max(1, int(round(h * scale)))
+                fake = hashlib.sha1(
+                    data + struct.pack(">II", nw, nh)).hexdigest()
+                rows.append({"media_id": mid, "orig_w": w, "orig_h": h,
+                             "new_w": nw, "new_h": nh,
+                             "resized_sha1": fake})
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
+            rows = []
+
+    return (media.where(F_col("kind") == "image")
+            .select("media_id", "payload")
+            .mapInPandas(gen, RESIZED_SCHEMA))
+
+
 def _decode_frames(payload: bytes, fps: float,
                    max_frames: int) -> list[tuple[int, float, bytes]]:
     """STUB — real impl would use pyav/ffmpeg (not in this container).

@@ -749,6 +749,19 @@ def q_corpus_filter_cascade(spark, sf_dir):
                     F.col("fail_reason").isNull().alias("keep")))
 
 
+def q_multimodal_resize(spark, sf_dir):
+    """Multimodal image resize plumbing (aspect-preserving dimension
+    math real, pixel work stubbed — operators/multimodal.resize_images).
+    Not SQL-expressible (pandas UDF over the decode stub) -> rows-only
+    check with a determinism gate in tests/test_multimodal.py."""
+    from ferenda_spark.operators.multimodal import (resize_images,
+                                                    synth_media_df)
+    n = 600 if "0.1" in sf_dir else 200
+    media = synth_media_df(spark, n).repartition(
+        spark.sparkContext.defaultParallelism)
+    return resize_images(media, max_side=256)
+
+
 def q_corpus_length_quantiles(spark, sf_dir):
     """Per-source token-length distribution quantiles — the corpus
     statistic a training pipeline reads to set packing budgets and
@@ -4092,6 +4105,7 @@ def registry_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk_prod": q_ann_ivf_topk_prod,
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "corpus_length_quantiles": q_corpus_length_quantiles,
+        "multimodal_resize": q_multimodal_resize,
         "dedup_keep_canonical": q_dedup_keep_canonical,
         "dedup_lsh_incremental": q_dedup_lsh_incremental,
         "seq_pack_assign": q_seq_pack_assign,

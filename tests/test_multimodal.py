@@ -51,6 +51,25 @@ def test_rechunk_by_bytes_bounds_chunks():
         assert sizes.sum() <= 600 or len(c) == 1
 
 
+def test_resize_preserves_aspect_and_never_upscales(spark):
+    from ferenda_spark.operators.multimodal import resize_images
+    media = synth_media_df(spark, 60)
+    r = resize_images(media, max_side=100).toPandas()
+    assert len(r) == media.where("kind = 'image'").count()
+    assert (r[["new_w", "new_h"]].max(axis=1) <= 100).all()
+    # no upscaling: already-small images keep their dims
+    small = r[(r.orig_w <= 100) & (r.orig_h <= 100)]
+    assert (small.new_w == small.orig_w).all()
+    assert (small.new_h == small.orig_h).all()
+    # aspect preserved within rounding
+    big = r[(r.orig_w > 100) | (r.orig_h > 100)]
+    ratio_err = (big.new_w / big.new_h - big.orig_w / big.orig_h).abs()
+    assert (ratio_err < 0.05).all()
+    r2 = resize_images(media, max_side=100).toPandas()
+    assert r.sort_values("media_id").reset_index(drop=True).equals(
+        r2.sort_values("media_id").reset_index(drop=True))
+
+
 def test_registry_query_runs_with_stable_schema(spark):
     df = Q.q_multimodal_frame_sample(spark, SF)
     assert df.columns == ["media_id", "frame_idx", "ts_s", "frame_sha1",

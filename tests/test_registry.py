@@ -19,7 +19,7 @@ SF_DIR = "/root/testdata/sf0.001"
 NO_ORACLE = {"kg_pipeline", "multimodal_features"}
 # same, for registry_extra (pandas-UDF stages DuckDB cannot express);
 # these get a determinism gate instead (tests/test_multimodal.py)
-NO_ORACLE_EXTRA = {"multimodal_frame_sample"}
+NO_ORACLE_EXTRA = {"multimodal_frame_sample", "multimodal_resize"}
 
 
 def test_registry_is_exactly_50():
