@@ -3,8 +3,9 @@
 entry(): flagship KG triple lift at sf0.001.
 queries(): one entry per implemented operator (SURVEY.md §2 + training-
 data ops); each callable takes (spark, sf_dir) -> DataFrame.
-oracle_sql(): matching DuckDB SQL per query (kg_pipeline is the one
-non-SQL-expressible entry — FSM + pandas-UDF parse; rows-only check).
+oracle_sql(): matching DuckDB SQL per query (two declared rows-only
+entries: kg_pipeline — FSM + pandas-UDF parse — and
+multimodal_features — pandas-UDF decode stubs).
 """
 
 from __future__ import annotations
