@@ -1403,6 +1403,27 @@ def q_split_train_eval(spark, sf_dir):
                  F.sum("n_chars").cast("long").alias("sum_chars")))
 
 
+def q_split_leakage_safe(spark, sf_dir):
+    """LEAKAGE-SAFE train/valid/test split: the split hash is taken on
+    the near-dup CLUSTER id, not the document id, so every member of a
+    duplicate cluster lands in the same split — hashing per-document
+    puts one copy of a near-dup pair in train and its twin in test,
+    which is exactly the eval-contamination a dedup pipeline exists to
+    prevent.  Same salted 90/5/5 rule as q_split_train_eval (growth-
+    stable); clusters come from the production LSH config.
+
+    Scale shape: clusters is the iterative stage (see
+    q_dedup_clusters); the split itself is a pure column expression on
+    its output."""
+    labels = q_dedup_clusters(spark, sf_dir,
+                              pairs_fn=q_dedup_lsh_pairs_prod)
+    b = _h(F.concat(F.lit("split:"),
+                    F.col("cluster_id").cast("string"))) % 100
+    split = F.when(b < 90, "train").when(b < 95, "valid") \
+             .otherwise("test")
+    return labels.select("doc_id", "cluster_id", split.alias("split"))
+
+
 _DOMAIN_CAP = 8
 
 
@@ -2938,6 +2959,27 @@ SELECT doc_id, n AS n_tokens, fail_reason, fail_reason IS NULL AS keep
 FROM r
 """
 
+ORACLE["split_leakage_safe"] = f"""
+WITH RECURSIVE {_lsh_pairs_ctes(16, 4, 4, 0.5, bucket_cap=256)},
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
+          UNION SELECT doc_b, doc_a FROM lsh_pairs),
+reach(doc, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.doc = e.dst
+),
+labels AS (
+  SELECT doc AS doc_id, min(lab)::BIGINT AS cluster_id
+  FROM reach GROUP BY doc)
+SELECT doc_id, cluster_id,
+       CASE WHEN {_H_SQL.format(x="'split:' || cluster_id::VARCHAR")}
+                 % 100 < 90 THEN 'train'
+            WHEN {_H_SQL.format(x="'split:' || cluster_id::VARCHAR")}
+                 % 100 < 95 THEN 'valid'
+            ELSE 'test' END AS split
+FROM labels
+"""
+
 ORACLE["corpus_length_quantiles"] = f"""
 WITH t AS (
   SELECT source, len({_TOKS_SQL})::BIGINT AS n FROM documents)
@@ -4106,6 +4148,7 @@ def registry_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "corpus_length_quantiles": q_corpus_length_quantiles,
         "multimodal_resize": q_multimodal_resize,
+        "split_leakage_safe": q_split_leakage_safe,
         "dedup_keep_canonical": q_dedup_keep_canonical,
         "dedup_lsh_incremental": q_dedup_lsh_incremental,
         "seq_pack_assign": q_seq_pack_assign,

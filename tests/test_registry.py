@@ -80,6 +80,19 @@ def test_extra_query_matches_oracle(spark, name):
     assert _value_hash(spdf) == _value_hash(opdf)
 
 
+def test_leakage_safe_split_never_straddles_clusters(spark):
+    """THE invariant the leakage-safe split exists for: no near-dup
+    pair (production LSH config) may have its two endpoints in
+    different splits, and the split must agree with hashing the
+    cluster id directly."""
+    splits = {r.doc_id: r.split
+              for r in Q.q_split_leakage_safe(spark, SF_DIR).collect()}
+    pairs = Q.q_dedup_lsh_pairs_prod(spark, SF_DIR).collect()
+    assert pairs, "fixture corpus must contain near-dup pairs"
+    for p in pairs:
+        assert splits[p.doc_a] == splits[p.doc_b], (p.doc_a, p.doc_b)
+
+
 def test_seq_pack_offsets_reconstruct_cumsum(spark):
     """pack_id * budget + pack_offset must equal the exclusive running
     token sum per source in doc_id order — the invariant a downstream
