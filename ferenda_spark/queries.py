@@ -8,10 +8,15 @@ Conventions that make the oracle comparison exact:
 - integer outputs are BIGINT on both sides (Spark size()/row_number()
   return int -> cast to long);
 - floating outputs are computed in double and round()ed;
-- the only hash function used is the *portable 60-bit md5 prefix*:
+- the portable hash is the *60-bit md5 prefix*:
     Spark:  cast(conv(substr(md5(x), 1, 15), 16, 10) as bigint)
     DuckDB: ('0x' || substr(md5(x), 1, 15))::BIGINT
-  (verified identical; property-tested in tests/test_properties.py)
+  (verified identical; property-tested in tests/test_properties.py).
+  Exception: decontamination hashes grams with xxhash64 Spark-side as
+  a pure join-key compression — its oracle compares the gram STRINGS,
+  so the hash never needs a DuckDB twin (collisions would only ever
+  ADD a flagged doc; at 64 bits over a benchmark-sized gram set the
+  probability is negligible).
 """
 
 from __future__ import annotations
