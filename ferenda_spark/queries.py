@@ -904,7 +904,7 @@ def _url_norm_cols(d: DataFrame) -> DataFrame:
     host = F.regexp_replace(host, r":(443|80)$", "")
     path = F.regexp_replace(
         F.regexp_extract(nofrag, r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1),
-        r"/$", "")
+        r"/+$", "")
     qs = F.array_join(
         F.filter(F.split(F.regexp_extract(nofrag, r"\?([^#]*)", 1), "&"),
                  lambda p: ~p.startswith("utm_")), "&")
@@ -3065,7 +3065,7 @@ p AS (
              '^[A-Za-z]+://([^/?#]+)', 1)), '^www\\.', ''),
              ':(443|80)$', '') AS host,
          regexp_replace(regexp_extract(nofrag,
-             '^[A-Za-z]+://[^/?#]+([^?#]*)', 1), '/$', '') AS path,
+             '^[A-Za-z]+://[^/?#]+([^?#]*)', 1), '/+$', '') AS path,
          array_to_string(list_filter(string_split(
              regexp_extract(nofrag, '\\?([^#]*)', 1), '&'),
              x -> NOT starts_with(x, 'utm_')), '&') AS qs

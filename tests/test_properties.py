@@ -132,7 +132,7 @@ def test_url_normalization_idempotent(spark, s):
         host = F.regexp_replace(host, r":(443|80)$", "")
         path = F.regexp_replace(
             F.regexp_extract(nofrag, r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1),
-            r"/$", "")
+            r"/+$", "")
         qs = F.array_join(
             F.filter(F.split(F.regexp_extract(nofrag, r"\?([^#]*)", 1), "&"),
                      lambda p: ~p.startswith("utm_")), "&")
