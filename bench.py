@@ -203,13 +203,7 @@ def docs_bench_one(cores: int, n_docs: int) -> dict:
 
 
 def docs_bench_subprocess(cores: int, n_docs: int) -> dict:
-    out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--docs-only",
-         str(cores), str(n_docs)],
-        capture_output=True, text=True, timeout=1200,
-        cwd=os.path.dirname(os.path.abspath(__file__)))
-    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-    return json.loads(line)
+    return _bench_subprocess("--docs-only", cores, n_docs)
 
 
 def cpu_ceiling(lo: int = 8, hi: int = 32) -> dict:
@@ -238,16 +232,25 @@ def _burn(n: int) -> int:
     return s
 
 
-def kg_bench_subprocess(cores: int, pages: int) -> dict:
-    """Run kg_bench in a FRESH JVM so both parallelism levels get
-    identical cold-start treatment."""
+def _bench_subprocess(flag: str, cores: int, n: int) -> dict:
+    """Run one bench job in a FRESH JVM so both parallelism levels get
+    identical cold-start treatment; surface the child's stderr on
+    failure instead of dying on a bare IndexError."""
     out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--kg-only",
-         str(cores), str(pages)],
+        [sys.executable, os.path.abspath(__file__), flag,
+         str(cores), str(n)],
         capture_output=True, text=True, timeout=1200,
         cwd=os.path.dirname(os.path.abspath(__file__)))
-    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-    return json.loads(line)
+    lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+    if out.returncode != 0 or not lines:
+        raise RuntimeError(
+            f"bench subprocess {flag} cores={cores} n={n} failed "
+            f"(rc={out.returncode}): {out.stderr[-2000:]}")
+    return json.loads(lines[-1])
+
+
+def kg_bench_subprocess(cores: int, pages: int) -> dict:
+    return _bench_subprocess("--kg-only", cores, pages)
 
 
 def main():

@@ -99,15 +99,25 @@ def _sentences(words: list[str], rng: random.Random) -> str:
     return " ".join(out)
 
 
+def _non_dup_partner(j: int) -> int:
+    """Step j down to the nearest NON-dup doc index: a dup partner must
+    itself carry its own base text, or the planted 'duplicate' copies a
+    base no stored document has (the chained-dup hole the embeddings
+    fixture avoids by construction)."""
+    while j > 60 and j % 25 in (3, 7, 15):
+        j -= 1
+    return j
+
+
 def gen_doc(i: int, seed: int = 42) -> tuple[int, str, str, str, int]:
     rng = random.Random((seed << 21) + 1_000_003 * i + 7)
     mode = i % 25
     if mode == 7 and i > 60:            # exact duplicate of j (4%)
-        j = i - 1 - (i % 47)
+        j = _non_dup_partner(i - 1 - (i % 47))
         words, lang, source = _base_words(j, seed)
         rng = random.Random((seed << 21) + 1_000_003 * j + 7)
     elif mode in (3, 15) and i > 60:    # near duplicate of j (8%)
-        j = i - 1 - (i % 53)
+        j = _non_dup_partner(i - 1 - (i % 53))
         words, lang, source = _base_words(j, seed)
         words = list(words)
         for _ in range(max(1, len(words) // 30)):

@@ -270,6 +270,16 @@ def q_dedup_minhash_signature(spark, sf_dir):
     return sh.groupBy("doc_id").agg(*_minhash_aggs(_N_MINHASH))
 
 
+def _cap_hot_buckets(bb: DataFrame, cap: int) -> DataFrame:
+    """Drop band buckets larger than cap BEFORE the band self-join — a
+    k-doc bucket is k^2 in pair output, so the cap bounds the worst
+    case (hash pathologies, template storms); capped mass delegates to
+    the cluster/KEEP path.  Shared by the LSH and SimHash banders."""
+    ok = (bb.groupBy("band", "bkey").agg(F.count("*").alias("nb"))
+          .where(F.col("nb") <= cap).select("band", "bkey"))
+    return bb.join(ok, ["band", "bkey"], "left_semi")
+
+
 def q_dedup_lsh_pairs(spark, sf_dir, n_perms: int = _N_MINHASH,
                       bands: int = 4, rows_per_band: int = 2,
                       min_jaccard: float = 0.05,
@@ -286,9 +296,7 @@ def q_dedup_lsh_pairs(spark, sf_dir, n_perms: int = _N_MINHASH,
     sig = sh.groupBy("doc_id").agg(*_minhash_aggs(n_perms)).persist()
     bb = _lsh_band_table(sig, bands, rows_per_band)
     if bucket_cap:
-        ok = (bb.groupBy("band", "bkey").agg(F.count("*").alias("nb"))
-              .where(F.col("nb") <= bucket_cap).select("band", "bkey"))
-        bb = bb.join(ok, ["band", "bkey"], "left_semi")
+        bb = _cap_hot_buckets(bb, bucket_cap)
     cand = (bb.alias("a").join(
         bb.alias("b"),
         (F.col("a.band") == F.col("b.band"))
@@ -491,9 +499,7 @@ def q_dedup_simhash_band_pairs(spark, sf_dir,
     bb = (sim.select("doc_id", F.explode(band_structs).alias("bk"))
           .select("doc_id", "bk.band", "bk.bkey"))
     if bucket_cap:
-        ok = (bb.groupBy("band", "bkey").agg(F.count("*").alias("nb"))
-              .where(F.col("nb") <= bucket_cap).select("band", "bkey"))
-        bb = bb.join(ok, ["band", "bkey"], "left_semi")
+        bb = _cap_hot_buckets(bb, bucket_cap)
     cand = (bb.alias("a").join(
         bb.alias("b"),
         (F.col("a.band") == F.col("b.band"))
@@ -1946,7 +1952,10 @@ def q_dedup_semantic_prod(spark, sf_dir):
         n = np.sqrt((x * x).sum(axis=1))
         g = (x @ x.T) / np.outer(n, n)
         ia, ib = np.triu_indices(len(ids), k=1)
-        cos = np.round(g[ia, ib], 3)
+        # half-UP rounding to match F.round/DuckDB round (np.round is
+        # banker's half-to-even — the file's oracle-exactness
+        # convention); only cos >= tau survive, so values are positive
+        cos = np.floor(g[ia, ib] * 1000 + 0.5) / 1000
         keep = cos >= _SEMDEDUP_TAU_PROD
         return pd.DataFrame({
             "cell": np.full(int(keep.sum()), pdf["cell"].iloc[0],
@@ -2660,6 +2669,18 @@ WITH {_SHINGLES_CTE.strip()},
 SELECT doc_id, {_mh_cols_sql} FROM shp GROUP BY doc_id
 """
 
+def _cap_cte_sql(src: str, cap: int | None) -> tuple[str, str]:
+    """DuckDB twin of _cap_hot_buckets: (extra CTEs, candidate source
+    name) for a band table `src`, shared by the LSH and SimHash oracle
+    builders so cap semantics can never desynchronize."""
+    if not cap:
+        return "", src
+    return (f"okb AS (SELECT band, bkey FROM {src} "
+            f"GROUP BY band, bkey HAVING count(*) <= {cap}),\n"
+            f"{src}ok AS (SELECT {src}.* FROM {src} JOIN okb "
+            f"USING (band, bkey)),\n", f"{src}ok")
+
+
 def _lsh_pairs_ctes(n_perms: int, bands: int, rows_per_band: int,
                     min_j: float, bucket_cap: int | None = None) -> str:
     """The full DuckDB CTE chain for LSH pairs at ANY banding config —
@@ -2673,14 +2694,7 @@ def _lsh_pairs_ctes(n_perms: int, bands: int, rows_per_band: int,
                              for r in range(rows_per_band))
         + ") AS bkey FROM sig"
         for b in range(bands))
-    cand_src = "bands"
-    cap_cte = ""
-    if bucket_cap:
-        cap_cte = (f"okb AS (SELECT band, bkey FROM bands "
-                   f"GROUP BY band, bkey HAVING count(*) <= {bucket_cap}),\n"
-                   "bandsok AS (SELECT bands.* FROM bands "
-                   "JOIN okb USING (band, bkey)),\n")
-        cand_src = "bandsok"
+    cap_cte, cand_src = _cap_cte_sql("bands", bucket_cap)
     return f"""{_SHINGLES_CTE.strip()},
 {_SHH_CTE},
 {_HP_CTE},
@@ -2723,22 +2737,11 @@ SELECT doc_a, doc_b, jaccard FROM lsh_pairs
 WHERE doc_a % 5 = 0 OR doc_b % 5 = 0
 """
 
-ORACLE["dedup_clusters"] = f"""
-WITH RECURSIVE {_LSH_PAIRS_CTES},
-edges AS (SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
-          UNION SELECT doc_b, doc_a FROM lsh_pairs),
-reach(doc, lab) AS (
-  SELECT doc_id, doc_id FROM documents
-  UNION
-  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.doc = e.dst
-)
-SELECT doc AS doc_id, min(lab)::BIGINT AS cluster_id
-FROM reach GROUP BY doc
-"""
-
-ORACLE["dedup_keep_canonical"] = f"""
-WITH RECURSIVE {_LSH_PAIRS_CTES},
-edges AS (SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
+# connected-components closure over the lsh_pairs edge set — the ONE
+# copy every clustering-derived oracle (clusters, KEEP, shards chain,
+# leakage-safe split) composes with, so closure semantics can never
+# desynchronize between them
+_CC_CTES = """edges AS (SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
           UNION SELECT doc_b, doc_a FROM lsh_pairs),
 reach(doc, lab) AS (
   SELECT doc_id, doc_id FROM documents
@@ -2747,7 +2750,17 @@ reach(doc, lab) AS (
 ),
 labels AS (
   SELECT doc AS doc_id, min(lab)::BIGINT AS cluster_id
-  FROM reach GROUP BY doc),
+  FROM reach GROUP BY doc)"""
+
+ORACLE["dedup_clusters"] = f"""
+WITH RECURSIVE {_LSH_PAIRS_CTES},
+{_CC_CTES}
+SELECT doc_id, cluster_id FROM labels
+"""
+
+ORACLE["dedup_keep_canonical"] = f"""
+WITH RECURSIVE {_LSH_PAIRS_CTES},
+{_CC_CTES},
 clusters AS (
   SELECT cluster_id, count(*)::BIGINT AS n_members
   FROM labels GROUP BY cluster_id)
@@ -2757,16 +2770,7 @@ FROM documents d JOIN clusters c ON d.doc_id = c.cluster_id
 
 ORACLE["corpus_to_shards_chain"] = f"""
 WITH RECURSIVE {_lsh_pairs_ctes(16, 4, 4, 0.5, bucket_cap=256)},
-edges AS (SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
-          UNION SELECT doc_b, doc_a FROM lsh_pairs),
-reach(doc, lab) AS (
-  SELECT doc_id, doc_id FROM documents
-  UNION
-  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.doc = e.dst
-),
-labels AS (
-  SELECT doc AS doc_id, min(lab)::BIGINT AS cluster_id
-  FROM reach GROUP BY doc),
+{_CC_CTES},
 canon AS (SELECT doc_id FROM labels WHERE doc_id = cluster_id),
 g AS (SELECT DISTINCT doc_id,
         ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] ||
@@ -2845,13 +2849,7 @@ FROM bands
 def _simhash_pairs_sql(bucket_cap: int | None = None,
                        max_hamming: int | None = None) -> str:
     """DuckDB twin of q_dedup_simhash_band_pairs at ANY config."""
-    cand_src, cap_cte = "bb", ""
-    if bucket_cap:
-        cap_cte = (f"okb AS (SELECT band, bkey FROM bb "
-                   f"GROUP BY band, bkey HAVING count(*) <= {bucket_cap}),\n"
-                   "bbok AS (SELECT bb.* FROM bb JOIN okb "
-                   "USING (band, bkey)),\n")
-        cand_src = "bbok"
+    cap_cte, cand_src = _cap_cte_sql("bb", bucket_cap)
     ham_where = (f"WHERE hamming <= {max_hamming}"
                  if max_hamming is not None else "")
     return f"""
@@ -2966,16 +2964,7 @@ FROM r
 
 ORACLE["split_leakage_safe"] = f"""
 WITH RECURSIVE {_lsh_pairs_ctes(16, 4, 4, 0.5, bucket_cap=256)},
-edges AS (SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
-          UNION SELECT doc_b, doc_a FROM lsh_pairs),
-reach(doc, lab) AS (
-  SELECT doc_id, doc_id FROM documents
-  UNION
-  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.doc = e.dst
-),
-labels AS (
-  SELECT doc AS doc_id, min(lab)::BIGINT AS cluster_id
-  FROM reach GROUP BY doc)
+{_CC_CTES}
 SELECT doc_id, cluster_id,
        CASE WHEN {_H_SQL.format(x="'split:' || cluster_id::VARCHAR")}
                  % 100 < 90 THEN 'train'
@@ -3608,8 +3597,10 @@ asg AS (
                       c.cent_id ASC) AS rn
     FROM e CROSS JOIN cent c) WHERE rn = 1)"""
 
-ORACLE["dedup_semantic_prod"] = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+# the K=256 quantizer assignment — the DuckDB twin of _cell_assigned,
+# shared by the production SemDeDup and IVF oracles (one copy so the
+# tie-break can never desynchronize between them)
+_CELL_ASG_CTES = f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 cent AS (SELECT vec_id AS cent_id, v AS cv FROM e
          WHERE vec_id < {_SEMDEDUP_K}),
 asg AS (
@@ -3621,7 +3612,10 @@ asg AS (
                       / (sqrt(list_dot_product(e.v, e.v))
                          * sqrt(list_dot_product(c.cv, c.cv))) DESC,
                       c.cent_id ASC) AS rn
-    FROM e CROSS JOIN cent c) WHERE rn = 1)
+    FROM e CROSS JOIN cent c) WHERE rn = 1)"""
+
+ORACLE["dedup_semantic_prod"] = f"""
+WITH {_CELL_ASG_CTES}
 SELECT a.cell::BIGINT AS cell, a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_dot_product(a.v, b.v)
              / (sqrt(list_dot_product(a.v, a.v))
@@ -3634,19 +3628,7 @@ WHERE round(list_dot_product(a.v, b.v)
 """
 
 ORACLE["ann_ivf_topk_prod"] = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-cent AS (SELECT vec_id AS cent_id, v AS cv FROM e
-         WHERE vec_id < {_SEMDEDUP_K}),
-asg AS (
-  SELECT vec_id, v, cent_id AS cell FROM (
-    SELECT e.vec_id, e.v, c.cent_id,
-           row_number() OVER (
-             PARTITION BY e.vec_id
-             ORDER BY list_dot_product(e.v, c.cv)
-                      / (sqrt(list_dot_product(e.v, e.v))
-                         * sqrt(list_dot_product(c.cv, c.cv))) DESC,
-                      c.cent_id ASC) AS rn
-    FROM e CROSS JOIN cent c) WHERE rn = 1),
+WITH {_CELL_ASG_CTES},
 q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
 probe AS (
   SELECT qid, qv, cell FROM (

@@ -80,6 +80,15 @@ def test_extra_query_matches_oracle(spark, name):
     assert _value_hash(spdf) == _value_hash(opdf)
 
 
+def test_shards_chain_is_nondegenerate_at_driver_scale(spark):
+    """corpus_to_shards_chain is empty at sf0.001 (DSIR selects nothing
+    there), which would make an empty-vs-empty oracle comparison
+    vacuous — pin that at the DRIVER's scale (sf0.01) the chain keeps a
+    real survivor set, so the driver gate compares actual rows."""
+    df = Q.q_corpus_to_shards_chain(spark, "/root/testdata/sf0.01")
+    assert df.count() > 0
+
+
 def test_leakage_safe_split_never_straddles_clusters(spark):
     """THE invariant the leakage-safe split exists for: no near-dup
     pair (production LSH config) may have its two endpoints in
