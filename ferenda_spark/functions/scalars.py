@@ -83,10 +83,15 @@ def natural_sort_key(col: Column) -> Column:
 
 
 def natural_sort_key_py(s: str) -> str:
+    # ASCII-only digit class (re.ASCII): Java's \d in the Spark twin is
+    # ASCII-only, so non-ASCII Unicode digits (e.g. U+16AC0 MRO DIGIT
+    # ZERO) must pass through verbatim on BOTH sides.  The reference's
+    # split_numalpha operates on ASCII identifiers, so ASCII-only is the
+    # intended contract (and matches DuckDB's regexp semantics too).
     def enc(m: "re.Match[str]") -> str:
         v = m.group(0).lstrip("0") or "0"
         return f"{len(v):0{_NSK_LEN}d}{v}"
-    return re.sub(r"\d+", enc, s)
+    return re.sub(r"\d+", enc, s, flags=re.ASCII)
 
 
 # ---------------------------------------------------------------------------

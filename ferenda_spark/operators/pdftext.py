@@ -104,19 +104,45 @@ def _lzw_decode(data: bytes) -> bytes:
     return bytes(out)
 
 
-_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)endobj", re.S)
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)endobj", re.S)
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)(?:\r?\n)?endstream", re.S)
 _REF_RE = rb"(\d+)\s+\d+\s+R"
+_ENCRYPT_RE = re.compile(rb"/Encrypt\s+\d+\s+\d+\s+R")
+
+
+def _is_encrypted(data: bytes) -> bool:
+    """/Encrypt is only meaningful inside the trailer dictionary (or
+    the cross-reference-stream dict startxref points at) — probing the
+    whole body false-positives on content streams or comments that
+    merely contain the byte pattern."""
+    for m in re.finditer(rb"trailer\b", data):
+        if _ENCRYPT_RE.search(data[m.end():m.end() + 2048]):
+            return True
+    m = re.search(rb"startxref\s+(\d+)", data[-256:])
+    if m:  # xref-stream PDFs carry the trailer keys in the stream dict
+        at = data[int(m.group(1)):]
+        if re.match(rb"\s*\d+\s+\d+\s+obj\b", at):
+            # probe the xref-stream object's DICT only (up to the
+            # stream keyword), never the stream payload
+            if _ENCRYPT_RE.search(at[:2048].split(b"stream", 1)[0]):
+                return True
+    return False
 
 
 class _Pdf:
     def __init__(self, data: bytes):
-        if b"/Encrypt" in data[-2048:] or re.search(
-                rb"/Encrypt\s+\d+\s+\d+\s+R", data):
+        if _is_encrypted(data):
             raise ValueError("encrypted pdf")
         self.objs: dict[int, bytes] = {}
+        gens: dict[int, int] = {}
         for m in _OBJ_RE.finditer(data):
-            self.objs[int(m.group(1))] = m.group(2)
+            num, gen = int(m.group(1)), int(m.group(2))
+            # incremental updates append the live object LATER in the
+            # file; among equal offsets the higher generation wins, so
+            # keep the last-seen object of the highest generation
+            if gen >= gens.get(num, -1):
+                gens[num] = gen
+                self.objs[num] = m.group(3)
 
     def body(self, num: int) -> bytes:
         return self.objs.get(num, b"")

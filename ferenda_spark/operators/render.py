@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from xml.sax.saxutils import escape, quoteattr
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ferenda_spark import ns
@@ -193,9 +193,24 @@ def render_documents(triples: DataFrame, lang_by_url: DataFrame | None = None,
                 render_group, "url string, xhtml string"))
 
 
+def _xml_text(col: Column) -> Column:
+    """Columnar XML text escape (& first, then angle brackets) — the
+    columnar builders must escape exactly like render_xhtml's
+    xml.sax.saxutils.escape does for the per-doc pages."""
+    out = F.regexp_replace(col, "&", "&amp;")
+    out = F.regexp_replace(out, "<", "&lt;")
+    return F.regexp_replace(out, ">", "&gt;")
+
+
+def _xml_attr(col: Column) -> Column:
+    return F.regexp_replace(_xml_text(col), '"', "&quot;")
+
+
 def toc_pages(triples: DataFrame) -> DataFrame:
     """A3/S12: per-issued-year TOC html pages — pure columnar
-    (conditional pivot + sort_array + concat_ws; one shuffle)."""
+    (conditional pivot + sort_array + concat_ws; one shuffle).
+    Titles/hrefs are XML-escaped; a null title renders as an empty
+    anchor text (coalesce) so n_docs always equals the emitted items."""
     docs = (triples.where(~F.col("subj").contains("#"))
             .groupBy("subj")
             .agg(F.max(F.when(F.col("pred") == ns.DCT_TITLE,
@@ -203,8 +218,9 @@ def toc_pages(triples: DataFrame) -> DataFrame:
                  F.max(F.when(F.col("pred") == ns.DCT_ISSUED,
                               F.col("obj"))).alias("issued")))
     year = F.substring("issued", 1, 4)
-    item = F.concat(F.lit('<li><a href="'), F.col("subj"),
-                    F.lit('">'), F.col("title"), F.lit("</a></li>"))
+    item = F.concat(F.lit('<li><a href="'), _xml_attr(F.col("subj")),
+                    F.lit('">'), _xml_text(F.coalesce("title", F.lit(""))),
+                    F.lit("</a></li>"))
     return (docs.where(year.isNotNull())
             .groupBy(year.alias("year"))
             .agg(F.concat_ws(
@@ -250,8 +266,8 @@ def feed_pages(triples: DataFrame, page_size: int = 25) -> DataFrame:
                          "year")
               .withColumn("rn", F.col("lrn") + F.col("offset")))
     entry = F.concat(
-        F.lit("<entry><id>"), F.col("subj"),
-        F.lit("</id><title>"), F.col("title"),
+        F.lit("<entry><id>"), _xml_text(F.col("subj")),
+        F.lit("</id><title>"), _xml_text(F.coalesce("title", F.lit(""))),
         F.lit("</title><updated>"), F.col("issued"),
         F.lit("</updated></entry>"))
     page = ((F.col("rn") - 1) / page_size).cast("long")

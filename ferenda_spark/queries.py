@@ -580,6 +580,7 @@ def q_dedup_clusters(spark, sf_dir, pairs_fn=None):
                 .select("doc_id",
                         F.least("label", "new_label").alias("label")))
 
+    changed = 0
     for _ in range(16):                       # diameter/2 bound
         # TWO hops per materialization round: same shuffle work as two
         # single-hop rounds, half the checkpoint/action overhead.
@@ -594,6 +595,13 @@ def q_dedup_clusters(spark, sf_dir, pairs_fn=None):
         labels = joined.select("doc_id", "label")
         if changed == 0:
             break
+    if changed != 0:
+        # A component with diameter > 32 would silently hand partially
+        # merged labels to KEEP/split/shards — fail loudly instead.
+        raise RuntimeError(
+            f"dedup_clusters: label propagation did not converge in 16 "
+            f"double-hop rounds ({changed} labels still changing); "
+            f"component diameter exceeds 32 — raise the round bound")
     return labels.select("doc_id",
                          F.col("label").cast("long").alias("cluster_id"))
 
@@ -3403,6 +3411,15 @@ FROM c
 
 _SV_MONTHS_SQL = ", ".join(f"({i + 1},'{m}')" for i, m in enumerate(_SV_MONTHS))
 
+
+def _xesc_sql(expr: str, attr: bool = False) -> str:
+    """DuckDB twin of operators/render._xml_text/_xml_attr: XML-escape
+    (& first, then angle brackets; quotes too in attribute context)."""
+    out = (f"replace(replace(replace({expr},'&','&amp;'),"
+           f"'<','&lt;'),'>','&gt;')")
+    return f"replace({out},'\"','&quot;')" if attr else out
+
+
 ORACLE["site_toc_pages"] = f"""
 WITH {_SITE_TRIPLES_CTE.strip()},
 docs AS (
@@ -3412,7 +3429,8 @@ docs AS (
   FROM site GROUP BY subj),
 items AS (
   SELECT substr(issued, 1, 4) AS year,
-         '<li><a href="' || subj || '">' || title || '</a></li>' AS item
+         '<li><a href="' || {_xesc_sql('subj', attr=True)} || '">' ||
+         {_xesc_sql("coalesce(title, '')")} || '</a></li>' AS item
   FROM docs WHERE issued IS NOT NULL)
 SELECT 'toc/issued/' || year || '.html' AS path,
        count(*)::BIGINT AS n_docs,
@@ -3436,7 +3454,8 @@ ranked AS (
   FROM docs WHERE issued IS NOT NULL),
 entries AS (
   SELECT (rn - 1) // 25 AS page, rn,
-         '<entry><id>' || subj || '</id><title>' || title ||
+         '<entry><id>' || {_xesc_sql('subj')} || '</id><title>' ||
+         {_xesc_sql("coalesce(title, '')")} ||
          '</title><updated>' || issued || '</updated></entry>' AS e
   FROM ranked)
 SELECT 'feed/page' || page::VARCHAR || '.atom' AS path,

@@ -96,6 +96,38 @@ def test_malformed_inputs_quarantine():
                          b"endobj\ntrailer << /Encrypt 2 0 R >>")
 
 
+def test_pdf_encrypt_probe_is_trailer_scoped():
+    """ADVICE r03: '/Encrypt N 0 R' INSIDE a content stream (or a
+    comment) must not quarantine a valid unencrypted PDF — only the
+    trailer dict (or xref-stream dict) counts."""
+    from ferenda_spark.operators.pdftext import _is_encrypted
+
+    body = (b"%PDF-1.4\n1 0 obj\n<< /Length 20 >>\nstream\n"
+            b"BT (/Encrypt 2 0 R) Tj ET\nendstream\nendobj\n"
+            b"trailer << /Root 1 0 R /Size 2 >>\nstartxref\n9\n%%EOF")
+    assert not _is_encrypted(body)
+    assert _is_encrypted(
+        b"%PDF-1.4\ntrailer << /Encrypt 2 0 R /Root 1 0 R >>\n%%EOF")
+
+
+def test_pdf_superseded_object_shadowing():
+    """ADVICE r03: an incremental update appending '1 1 obj' must
+    shadow the original '1 0 obj', not the reverse."""
+    from ferenda_spark.operators.pdftext import _Pdf
+
+    data = (b"%PDF-1.4\n"
+            b"1 0 obj\n<< /Old true >>\nendobj\n"
+            b"1 1 obj\n<< /New true >>\nendobj\n"
+            b"trailer << /Root 1 0 R >>\n%%EOF")
+    assert b"/New" in _Pdf(data).body(1)
+    # same generation appended later (rebuilt xref) -> last-seen wins
+    data2 = (b"%PDF-1.4\n"
+             b"1 0 obj\n<< /Old true >>\nendobj\n"
+             b"1 0 obj\n<< /New true >>\nendobj\n"
+             b"trailer << /Root 1 0 R >>\n%%EOF")
+    assert b"/New" in _Pdf(data2).body(1)
+
+
 def test_extract_documents_plumbing(spark):
     rows = [
         ("u1", "word", open(f"{WR}/sample.docx", "rb").read()),

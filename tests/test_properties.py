@@ -5,7 +5,7 @@ oracle gate rests on."""
 
 import duckdb
 import pytest
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
@@ -34,6 +34,8 @@ def test_normalize_space_matches_py(spark, s):
 
 @_slow
 @given(s=TEXT)
+@example(s="\U00016AC0")   # MRO DIGIT ZERO: Java \d is ASCII-only, so the
+@example(s="a٣b1")    # Python twin must be too (r3 falsifying cases).
 def test_natural_sort_key_matches_py(spark, s):
     assert _one(spark, FN.natural_sort_key, s) == FN.natural_sort_key_py(s)
 
