@@ -1,4 +1,5 @@
 from ferenda_spark.plans.audit import (  # noqa: F401
+    executed_plan_str,
     explain_str,
     has_broadcast_hash_join,
     has_pushed_filter,

@@ -67,3 +67,12 @@ def shuffle_exchange_count(df: DataFrame) -> int:
 def wholestage_codegen_count(df: DataFrame) -> int:
     plan = explain_str(df, mode="simple")
     return len(set(re.findall(r"\*\((\d+)\)", plan)))
+
+
+def executed_plan_str(df: DataFrame) -> str:
+    """The FINAL adaptive plan, after running the query — the only
+    place AQE decisions (runtime ReusedExchange, coalesced reads,
+    skew-join splits) are visible; the pre-execution explain shows
+    isFinalPlan=false without them."""
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()

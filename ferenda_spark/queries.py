@@ -1104,8 +1104,8 @@ def q_corpus_prepare_chain(spark, sf_dir):
     computed over the KEPT set) -> concat-and-chunk sequence packing of
     the sampled stream.  One corpus scan feeds everything; Catalyst
     fuses the cascade + sampling filters into the scan stage, the only
-    exchanges are the tiny per-source count aggregate (broadcast back)
-    and the per-source packing window."""
+    wide exchanges are the tiny per-source count aggregate (broadcast
+    back) and the (source, bucket) packing shuffle of _pack_assign."""
     d = _read_wide(spark, sf_dir, "documents")
     kept = _cascade_signals(d).where(F.col("fail_reason").isNull())
     counts = kept.groupBy("source").agg(F.count("*").alias("n_docs"))
@@ -1117,13 +1117,7 @@ def q_corpus_prepare_chain(spark, sf_dir):
     sampled = (kept.join(F.broadcast(counts), "source")
                .where(bucket <= F.col("thr"))
                .select("doc_id", "source", "n_tokens"))
-    w = (Window.partitionBy("source").orderBy("doc_id")
-         .rowsBetween(Window.unboundedPreceding, -1))
-    pre = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
-    return sampled.select(
-        "doc_id", "source", "n_tokens",
-        F.floor(pre / _PACK_BUDGET).cast("long").alias("pack_id"),
-        (pre % _PACK_BUDGET).cast("long").alias("pack_offset"))
+    return _pack_assign(sampled)
 
 
 def q_corpus_to_shards_chain(spark, sf_dir):
@@ -1142,7 +1136,8 @@ def q_corpus_to_shards_chain(spark, sf_dir):
     shared join key (AQE coalesces them); clustering is the one
     iterative stage (localCheckpoint rounds, see q_dedup_clusters); the
     decontamination and DSIR subtrees are broadcast-scored as in their
-    standalone queries; packing reuses the per-source window.
+    standalone queries; packing is _pack_assign's two-pass bucketed
+    prefix sum.
     Clustering runs over the PRODUCTION LSH pair config (r=4 banding +
     hot-bucket cap) — the demo r=2 banding's junk candidates would both
     blow up the pair join at corpus scale and over-merge clusters."""
@@ -1160,13 +1155,7 @@ def q_corpus_to_shards_chain(spark, sf_dir):
     kept = (base.join(canon, "doc_id", "left_semi")
             .join(clean, "doc_id", "left_semi")
             .join(sel, "doc_id", "left_semi"))
-    w = (Window.partitionBy("source").orderBy("doc_id")
-         .rowsBetween(Window.unboundedPreceding, -1))
-    pre = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
-    return kept.select(
-        "doc_id", "source", "n_tokens",
-        F.floor(pre / _PACK_BUDGET).cast("long").alias("pack_id"),
-        (pre % _PACK_BUDGET).cast("long").alias("pack_offset"))
+    return _pack_assign(kept)
 
 
 def q_web_corpus_scrub_chain(spark, sf_dir):
@@ -1243,6 +1232,67 @@ def q_doc_fingerprint(spark, sf_dir):
 
 _PACK_BUDGET = 2048          # tokens per training sequence
 _SAMPLE_CAP = 20             # per-source document cap (sf-scaled demo)
+_PACK_BUCKET_W = 64          # doc_id range width per packing bucket (test
+                             # scale; production sizes it so bucket count
+                             # ≈ 64x cluster parallelism)
+
+
+def _pack_assign(t: DataFrame) -> DataFrame:
+    """Concat-and-chunk sequence packing over (doc_id, source,
+    n_tokens): exclusive running token sum per source in doc_id order,
+    pack_id = pre div budget, pack_offset = pre mod budget.
+
+    Scale shape (VERDICT r03 #2): a cumsum windowed by source ALONE
+    caps parallelism at source cardinality — one task consumes each
+    domain's entire stream.  This is the two-pass bucketed prefix sum
+    (same shape as q_shard_assign / q_news_atom_pages): doc_id-RANGE
+    buckets (contiguous in the ordering key, so per-bucket offsets
+    compose exactly), a local cumsum windowed per (source, bucket),
+    per-(source, bucket) token sums rolled into exclusive offsets by a
+    window over the TINY counts table (rows = sources x buckets, never
+    the corpus), broadcast back.  The wide rows shuffle once, on
+    (source, bucket).  All integer arithmetic: a float divide loses
+    the low bits of a >2^53 global token offset at 10^12-doc scale."""
+    # coalesce makes b NON-NULLABLE: otherwise the join infers
+    # isnotnull(b) and pushes it to the scan on one side only, making
+    # the two exchange subtrees canonically unequal — which defeats
+    # ReuseExchange and re-executes the whole upstream.
+    b = F.coalesce(F.expr(f"doc_id div {_PACK_BUCKET_W}"), F.lit(-1))
+    t = t.select("doc_id", "source", "n_tokens", b.alias("b"))
+    # ONE explicit exchange both consumers sit on: the local-cumsum
+    # window and the bucket-totals aggregate each require
+    # hashpartitioning(source, b), so Catalyst satisfies both from this
+    # shuffle (ReuseExchange) — the upstream (which in the chain
+    # queries includes clustering/decontamination/DSIR subtrees) scans
+    # and tokenizes ONCE.
+    ex = t.repartition("source", "b")
+    wl = (Window.partitionBy("source", "b").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    local = ex.withColumn(
+        "lpre", F.coalesce(F.sum("n_tokens").over(wl),
+                           F.lit(0).cast("long")))
+    # Bucket totals from the WINDOWED output (cumsum is monotone, so
+    # the bucket total is max(lpre + n_tokens)) — both join sides then
+    # sit on the SAME exchange subtree and Spark's ReuseExchange
+    # shuffles the upstream once; an independently-aggregated counts
+    # path column-prunes differently, breaks canonical equality, and
+    # re-executes the whole upstream (verified on the optimized plan).
+    off = (local.groupBy("source", "b")
+           .agg(F.max(F.col("lpre") + F.col("n_tokens")).alias("c"))
+           .withColumn(
+               "off", F.coalesce(
+                   F.sum("c").over(
+                       Window.partitionBy("source").orderBy("b")
+                       .rowsBetween(Window.unboundedPreceding, -1)),
+                   F.lit(0).cast("long"))))
+    return (local.join(F.broadcast(off.select("source", "b", "off")),
+                       ["source", "b"])
+            .withColumn("pre", (F.col("off") + F.col("lpre")).cast("long"))
+            .select("doc_id", "source", "n_tokens",
+                    F.expr(f"pre div {_PACK_BUDGET}")
+                    .cast("long").alias("pack_id"),
+                    (F.col("pre") % _PACK_BUDGET)
+                    .cast("long").alias("pack_offset")))
 
 
 def q_seq_pack_assign(spark, sf_dir):
@@ -1250,24 +1300,16 @@ def q_seq_pack_assign(spark, sf_dir):
     pipeline: concatenate each source's token stream in deterministic
     doc_id order and split it every _PACK_BUDGET tokens ("concat-and-
     chunk", GPT-style pretraining packing).  Each document gets the pack
-    it STARTS in (floor(exclusive-cumsum / budget)) and its token offset
+    it STARTS in (exclusive-cumsum div budget) and its token offset
     within that pack.
 
-    Scale shape: the running sum is windowed PER SOURCE (one bounded
-    stream per domain), never a global single-reducer window; for a
-    globally contiguous pack numbering the two-pass broadcast-prefix-sum
-    of q_news_atom_pages composes on top.  Pure columnar, one shuffle on
-    (source)."""
+    Scale shape: the two-pass bucketed prefix sum of _pack_assign —
+    parallelism is sources x doc_id-range buckets, never source
+    cardinality.  Pure columnar, one wide shuffle on (source, bucket)."""
     d = _read_wide(spark, sf_dir, "documents")
     t = d.select("doc_id", "source",
                  F.size(F.expr(_TOKS)).cast("long").alias("n_tokens"))
-    w = (Window.partitionBy("source").orderBy("doc_id")
-         .rowsBetween(Window.unboundedPreceding, -1))
-    pre = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
-    return t.select(
-        "doc_id", "source", "n_tokens",
-        F.floor(pre / _PACK_BUDGET).cast("long").alias("pack_id"),
-        (pre % _PACK_BUDGET).cast("long").alias("pack_offset"))
+    return _pack_assign(t)
 
 
 def q_sample_source_balanced(spark, sf_dir):
