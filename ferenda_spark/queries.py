@@ -1485,6 +1485,44 @@ def q_split_leakage_safe(spark, sf_dir):
     return labels.select("doc_id", "cluster_id", split.alias("split"))
 
 
+def split_from_labels(docs: DataFrame, labels: DataFrame) -> DataFrame:
+    """Leakage-safe split as a CHEAP DEPLOYMENT-TIME expression over a
+    MATERIALIZED cluster-labels table (VERDICT r03 #7): documents
+    left-join the stored (doc_id, cluster_id) state — a doc the dedup
+    pipeline hasn't labeled yet (a batch newer than the state) falls
+    back to its own id, i.e. a singleton cluster, which is exactly the
+    growth-stable default (its split can only change if a later dedup
+    run merges it into a cluster).  Same salted 90/5/5 cluster-hash
+    rule as q_split_leakage_safe.
+
+    Scale shape: one equi-join against the labels table (both sides
+    hash-partitioned on doc_id; at 10^9 docs the labels table is
+    bucketed storage and the join is co-located) + a pure column
+    expression.  NO clustering runs at deployment time — that is the
+    point; mirrors how q_dedup_lsh_incremental treats the band index
+    as state."""
+    j = docs.select("doc_id", "source").join(
+        labels.select("doc_id", "cluster_id"), "doc_id", "left")
+    cid = F.coalesce(F.col("cluster_id"), F.col("doc_id")).cast("long")
+    b = _h(F.concat(F.lit("split:"), cid.cast("string"))) % 100
+    split = F.when(b < 90, "train").when(b < 95, "valid") \
+             .otherwise("test")
+    return j.select("doc_id", "source", cid.alias("cluster_id"),
+                    split.alias("split"))
+
+
+def q_split_from_labels(spark, sf_dir):
+    """q_split_leakage_safe's deployment shape: the cluster labels are
+    persisted state (stand-in for the stored table the dedup pipeline
+    refreshes), the split itself is split_from_labels' join +
+    expression.  The oracle pins it against the same recursive-CTE
+    clustering twin."""
+    labels = q_dedup_clusters(spark, sf_dir,
+                              pairs_fn=q_dedup_lsh_pairs_prod).persist()
+    return split_from_labels(_read_wide(spark, sf_dir, "documents"),
+                             labels)
+
+
 _DOMAIN_CAP = 8
 
 
@@ -3024,6 +3062,22 @@ SELECT doc_id, cluster_id,
 FROM labels
 """
 
+ORACLE["split_from_labels"] = f"""
+WITH RECURSIVE {_lsh_pairs_ctes(16, 4, 4, 0.5, bucket_cap=256)},
+{_CC_CTES},
+j AS (
+  SELECT d.doc_id, d.source,
+         coalesce(l.cluster_id, d.doc_id)::BIGINT AS cluster_id
+  FROM documents d LEFT JOIN labels l USING (doc_id))
+SELECT doc_id, source, cluster_id,
+       CASE WHEN {_H_SQL.format(x="'split:' || cluster_id::VARCHAR")}
+                 % 100 < 90 THEN 'train'
+            WHEN {_H_SQL.format(x="'split:' || cluster_id::VARCHAR")}
+                 % 100 < 95 THEN 'valid'
+            ELSE 'test' END AS split
+FROM j
+"""
+
 ORACLE["corpus_length_quantiles"] = f"""
 WITH t AS (
   SELECT source, len({_TOKS_SQL})::BIGINT AS n FROM documents)
@@ -4125,11 +4179,19 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_band_pairs_prod": q_dedup_simhash_band_pairs_prod,
         "ann_cosine_topk": q_ann_cosine_topk,
-        "text_lang_id": q_text_lang_id,
+        # round-4 rotation (ADVICE r02 protocol, VERDICT r03 #4):
+        # scrub chain / KEEP / tokenize / lm_bits / leakage-safe split
+        # moved IN for external verification; stable veterans
+        # (text_lang_id, doc_fingerprint, events_rollup,
+        # text_bpe_pretokens, events_asof_join) rotated to extras
+        "web_corpus_scrub_chain": q_web_corpus_scrub_chain,
+        "dedup_keep_canonical": q_dedup_keep_canonical,
+        "tokenize_to_ids": q_tokenize_to_ids,
+        "quality_lm_bits": q_quality_lm_bits,
+        "split_leakage_safe": q_split_leakage_safe,
         "text_quality_score": q_text_quality_score,
         "dsir_importance": q_dsir_importance,
         "corpus_to_shards_chain": q_corpus_to_shards_chain,
-        "doc_fingerprint": q_doc_fingerprint,
         "coin_uri_mint": q_coin_uri_mint,
         "entity_link": q_entity_link,
         "dependency_join": q_dependency_join,
@@ -4156,11 +4218,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "news_atom_pages": q_news_atom_pages,
         "streaming_hourly_windows": q_streaming_hourly_windows,
         "events_sessionize": q_events_sessionize,
-        "text_bpe_pretokens": q_text_bpe_pretokens,
         "kg_degree_distribution": q_kg_degree_distribution,
         "pagerank_3iter": q_pagerank_3iter,
-        "events_asof_join": q_events_asof_join,
-        "events_rollup": q_events_rollup,
     }
 
 
@@ -4191,13 +4250,20 @@ def registry_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_band_pairs": q_dedup_simhash_band_pairs,
         "text_token_count": q_text_token_count,
         "events_props_extract": q_events_props_extract,
+        # round-4 rotation: stable veterans out of the driver window
+        # (all oracle-gated here at sf0.001 by tests/test_registry.py)
+        "text_lang_id": q_text_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "events_rollup": q_events_rollup,
+        "text_bpe_pretokens": q_text_bpe_pretokens,
+        "events_asof_join": q_events_asof_join,
+        # deployment-shape leakage-safe split over materialized labels
+        "split_from_labels": q_split_from_labels,
         "dedup_semantic_prod": q_dedup_semantic_prod,
         "ann_ivf_topk_prod": q_ann_ivf_topk_prod,
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "corpus_length_quantiles": q_corpus_length_quantiles,
         "multimodal_resize": q_multimodal_resize,
-        "split_leakage_safe": q_split_leakage_safe,
-        "dedup_keep_canonical": q_dedup_keep_canonical,
         "dedup_lsh_incremental": q_dedup_lsh_incremental,
         "seq_pack_assign": q_seq_pack_assign,
         "sample_source_balanced": q_sample_source_balanced,
@@ -4210,11 +4276,8 @@ def registry_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_ngrams": q_decontaminate_ngrams,
         "vocab_topk_coverage": q_vocab_topk_coverage,
         "text_repetition_signals": q_text_repetition_signals,
-        "web_corpus_scrub_chain": q_web_corpus_scrub_chain,
         "dedup_semantic": q_dedup_semantic,
-        "tokenize_to_ids": q_tokenize_to_ids,
         "dedup_substring_spans": q_dedup_substring_spans,
-        "quality_lm_bits": q_quality_lm_bits,
         "shard_assign": q_shard_assign,
         "split_train_eval": q_split_train_eval,
         "domain_cap_rank": q_domain_cap_rank,

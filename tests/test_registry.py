@@ -102,6 +102,26 @@ def test_leakage_safe_split_never_straddles_clusters(spark):
         assert splits[p.doc_a] == splits[p.doc_b], (p.doc_a, p.doc_b)
 
 
+def test_split_from_labels_matches_and_falls_back(spark):
+    """The deployment-shape split (materialized labels table as input)
+    must agree exactly with the inline q_split_leakage_safe on labeled
+    docs, keep the no-straddle invariant (same hash rule => follows
+    from the agreement), and give an UNSEEN doc (a batch newer than
+    the labels state) its own id as a singleton cluster."""
+    inline = {r.doc_id: (r.cluster_id, r.split)
+              for r in Q.q_split_leakage_safe(spark, SF_DIR).collect()}
+    from_labels = {r.doc_id: (r.cluster_id, r.split)
+                   for r in Q.q_split_from_labels(spark, SF_DIR).collect()}
+    assert inline == from_labels
+    # fallback: a doc absent from the labels state
+    docs = spark.createDataFrame(
+        [(10_000_001, "web")], "doc_id long, source string")
+    labels = spark.createDataFrame([], "doc_id long, cluster_id long")
+    row = Q.split_from_labels(docs, labels).collect()[0]
+    assert row.cluster_id == 10_000_001
+    assert row.split in ("train", "valid", "test")
+
+
 def test_seq_pack_offsets_reconstruct_cumsum(spark):
     """pack_id * budget + pack_offset must equal the exclusive running
     token sum per source in doc_id order — the invariant a downstream
