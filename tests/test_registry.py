@@ -16,10 +16,11 @@ from ferenda_spark import queries as Q
 SF_DIR = "/root/testdata/sf0.001"
 
 # declared rows-only entries (no SQL-expressible oracle by design)
-NO_ORACLE = {"kg_pipeline", "multimodal_features"}
+NO_ORACLE = {"kg_pipeline"}
 # same, for registry_extra (pandas-UDF stages DuckDB cannot express);
 # these get a determinism gate instead (tests/test_multimodal.py)
-NO_ORACLE_EXTRA = {"multimodal_frame_sample", "multimodal_resize"}
+NO_ORACLE_EXTRA = {"multimodal_features", "multimodal_frame_sample",
+                   "multimodal_resize"}
 
 
 def test_registry_is_exactly_50():
