@@ -310,7 +310,11 @@ def synth_media_df(spark, n: int, seed: int = 42) -> DataFrame:
         if kind == "image":
             w, h = synth_png_dims(i)
             pixels = bytes((i * 31 + p * 7) % 256 for p in range(w * h * 3))
-            payload, mime = MC.encode_png(w, h, pixels), "image/png"
+            if i % 9 == 3:      # every 3rd image row is BMP, rest PNG —
+                # both real decode paths run in every Spark-side batch
+                payload, mime = MC.encode_bmp(w, h, pixels), "image/bmp"
+            else:
+                payload, mime = MC.encode_png(w, h, pixels), "image/png"
         elif kind == "audio":
             n_samp = int(synth_wav_duration(i) * 8000)
             pcm = struct.pack(
