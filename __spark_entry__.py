@@ -3,9 +3,11 @@
 entry(): flagship KG triple lift at sf0.001.
 queries(): one entry per implemented operator (SURVEY.md §2 + training-
 data ops); each callable takes (spark, sf_dir) -> DataFrame.
-oracle_sql(): matching DuckDB SQL per query (two declared rows-only
-entries: kg_pipeline — FSM + pandas-UDF parse — and
-multimodal_features — pandas-UDF decode stubs).
+oracle_sql(): matching DuckDB SQL per query (one declared rows-only
+entry: kg_pipeline — FSM + pandas-UDF parse the oracle cannot
+express; its correctness gates are the reference-fixture parity
+suites.  The multimodal decode is oracle-checked via the
+multimodal_meta encode->decode round trip as of round 4).
 """
 
 from __future__ import annotations
