@@ -2630,6 +2630,28 @@ def q_streaming_hourly_windows(spark, sf_dir):
     return spark.table(qname)
 
 
+def q_warc_ingest(spark, sf_dir):
+    """WARC container ingest ROUND TRIP as an oracle row: the fixture
+    writes REAL Common-Crawl-layout .warc.gz files (one gzip member
+    per record, warcinfo + request records interleaved) whose response
+    fields are arithmetic in the record index; the engine parses the
+    ACTUAL BYTES distributed (binaryFile -> one task per file ->
+    mapInPandas record fan-out, sources/warc.py); the DuckDB twin
+    recomputes the fields from range(n).  Gates the gzip-member walk,
+    CRLF header parse, Content-Length body slicing and HTTP framing.
+    n fixed at 200 so the static oracle matches at every sf."""
+    from ferenda_spark.fixtures.warcs import write_warc_fixture
+    from ferenda_spark.sources.warc import read_warc_df
+    path = write_warc_fixture("spark-warehouse/warc_fixture_200", n=200)
+    recs = read_warc_df(spark, path)
+    return recs.select(
+        "url", "warc_ts",
+        F.col("http_status").cast("long").alias("http_status"),
+        "content_type",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.md5("html").alias("body_md5"), "ok")
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Multimodal decode ROUND TRIP as an ORACLE row (VERDICT r03 #3):
     the media fixture writes REAL PNG/WAV bytes whose dims/duration
@@ -3103,6 +3125,25 @@ SELECT doc_id, source, cluster_id,
                  % 100 < 95 THEN 'valid'
             ELSE 'test' END AS split
 FROM j
+"""
+
+ORACLE["warc_ingest"] = """
+WITH m AS (SELECT range AS i FROM range(0, 200)),
+b AS (
+  SELECT i,
+         '<html><body>doc ' || i || ' ' || repeat('x', i % 7) ||
+         '</body></html>' AS body
+  FROM m)
+SELECT 'https://warc.example.org/doc/' || i AS url,
+       TIMESTAMP '2026-01-01 00:00:00' + i * INTERVAL 1 MINUTE
+         AS warc_ts,
+       (CASE WHEN i % 13 = 5 THEN 404 ELSE 200 END)::BIGINT
+         AS http_status,
+       'text/html; charset=utf-8' AS content_type,
+       length(body)::BIGINT AS n_bytes,
+       md5(body) AS body_md5,
+       TRUE AS ok
+FROM b
 """
 
 ORACLE["multimodal_meta"] = """
@@ -4302,6 +4343,8 @@ def registry_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_join": q_events_asof_join,
         # deployment-shape leakage-safe split over materialized labels
         "split_from_labels": q_split_from_labels,
+        # WARC container ingest round trip (sources/warc.py)
+        "warc_ingest": q_warc_ingest,
         "dedup_semantic_prod": q_dedup_semantic_prod,
         "ann_ivf_topk_prod": q_ann_ivf_topk_prod,
         "multimodal_features": q_multimodal_features,

@@ -1,0 +1,94 @@
+"""WARC source reader gates (sources/warc.py): container round trip,
+Common-Crawl gzip-member layout, skip/quarantine behavior, and the
+chain into the extract pipeline."""
+
+import gzip
+
+import pytest
+
+from ferenda_spark.fixtures import warcs as W
+from ferenda_spark.sources import warc as S
+
+
+def test_parse_roundtrip_uncompressed_and_gzip_members():
+    ids = [0, 5, 13, 60]
+    for compress in (False, True):
+        data = W.build_warc_file(ids, compress=compress)
+        rows = S.parse_warc(data)
+        # only the response records come out; warcinfo/request skipped
+        assert [r["url"] for r in rows] == \
+            [f"{W.BASE_URL}{i}" for i in ids]
+        for i, r in zip(ids, rows):
+            assert r["ok"] and r["error"] is None
+            assert r["html"].decode() == W.record_body(i)
+            assert r["n_bytes"] == len(W.record_body(i))
+            assert r["http_status"] == W.record_status(i)
+            assert r["content_type"] == "text/html; charset=utf-8"
+            assert r["warc_ts"].minute == i % 60
+            assert r["warc_ts"].hour == i // 60
+
+
+def test_gunzip_members_walks_concatenated_stream():
+    members = [b"alpha", b"b" * 10000, b"gamma"]
+    blob = b"".join(gzip.compress(m, mtime=0) for m in members)
+    assert list(S.gunzip_members(blob)) == members
+    with pytest.raises(ValueError):
+        list(S.gunzip_members(blob[:-5]))   # truncated final member
+
+
+def test_malformed_http_quarantines_not_raises():
+    rec = S._split_records(W.build_warc_file([7], compress=False))
+    # hand-build a response record whose body has no http framing
+    bad = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: https://x/1\r\n"
+           b"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+           b"Content-Length: 9\r\n\r\nnot http!\r\n\r\n")
+    rows = S.parse_warc(bad)
+    assert len(rows) == 1 and rows[0]["ok"] is False
+    assert "http framing" in rows[0]["error"]
+    del rec
+
+
+def test_distributed_read_matches_single_parse(spark, tmp_path):
+    out = W.write_warc_fixture(str(tmp_path / "w"), n=40, n_files=3)
+    df = S.read_warc_df(spark, out)
+    got = {r.url: r for r in df.collect()}
+    assert len(got) == 40
+    # provenance column points at the owning file
+    assert all(r.source_file.endswith(".warc.gz") for r in got.values())
+    r7 = got[f"{W.BASE_URL}7"]
+    assert bytes(r7.html).decode() == W.record_body(7)
+    # one task per FILE: input partitions = file count, no shuffle
+    assert "Exchange" not in df._jdf.queryExecution().executedPlan() \
+        .toString().split("MapInPandas")[-1]
+
+
+def test_warc_to_web_pages_feeds_extract(spark, tmp_path):
+    """End-to-end: a WARC carrying REAL fixture pages parses through
+    warc_to_web_pages -> operators/extract with output equal to the
+    direct web_pages_df path (the ingest is transparent)."""
+    from ferenda_spark.fixtures.webpages import gen_rows, web_pages_df
+    from ferenda_spark.operators.extract import extract
+
+    rows = gen_rows(6)
+    records = [W._warcinfo_record()]
+    for i, r in enumerate(rows):
+        payload = r["html"]
+        http = (f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                f"Content-Length: {len(payload)}\r\n\r\n"
+                ).encode() + payload
+        records.append(W._record(
+            [("WARC-Type", "response"),
+             ("WARC-Date", r["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ")),
+             ("WARC-Target-URI", r["url"]),
+             ("Content-Type", "application/http;msgtype=response")],
+            http))
+    p = tmp_path / "pages.warc.gz"
+    p.write_bytes(b"".join(gzip.compress(x, mtime=0) for x in records))
+
+    pages = S.warc_to_web_pages(S.read_warc_df(spark, str(tmp_path)))
+    via_warc = extract(pages).orderBy("url").collect()
+    direct = extract(web_pages_df(spark, 6)).orderBy("url").collect()
+    assert [r.url for r in via_warc] == [r.url for r in direct]
+    assert [r.text for r in via_warc] == [r.text for r in direct]
+    assert [r.doc_uri for r in via_warc] == [r.doc_uri for r in direct]
