@@ -162,6 +162,52 @@ def read_warc_df(spark: SparkSession, path: str) -> DataFrame:
     return files.mapInPandas(gen, WARC_RECORD_SCHEMA)
 
 
+def read_warc_records_df(spark: SparkSession, index: DataFrame) -> DataFrame:
+    """CC-index-style RANGED record reads — the petabyte-scale access
+    path: instead of inflating whole files, each task reads only the
+    (offset, length) byte ranges its index rows point at (Common Crawl
+    publishes exactly this columnar index; the one-gzip-member-per-
+    record layout exists so a single record inflates from a ranged
+    read).  ``index``: (path, offset, length) rows.  Locally the range
+    read is a seek; against object storage the same code issues ranged
+    GETs.  Blobs never shuffle; parallelism = index partitioning, so a
+    selective query (one domain, one language) touches only its
+    records — the row-group-pruning story, applied to crawl archives."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in WARC_RECORD_SCHEMA.fields]
+        for pdf in batches:
+            rows: list[dict] = []
+            for path_, off, ln in zip(pdf["path"], pdf["offset"],
+                                      pdf["length"]):
+                local = path_[7:] if path_.startswith("file://") else path_
+                with open(local, "rb") as fh:
+                    fh.seek(int(off))
+                    rows += parse_warc(fh.read(int(ln)),
+                                       source_file=path_)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return (index.select("path", "offset", "length")
+            .mapInPandas(gen, WARC_RECORD_SCHEMA))
+
+
+def warc_member_index(path: str) -> list[tuple[str, int, int]]:
+    """Build the (path, offset, length) member index for one local
+    .warc.gz — the fixture-side stand-in for the published CC index
+    (production reads the index, never scans for members)."""
+    with open(path, "rb") as fh:
+        data = fh.read()
+    out = []
+    pos = 0
+    while pos < len(data):
+        d = zlib.decompressobj(wbits=31)
+        d.decompress(data[pos:])
+        end = len(data) - len(d.unused_data)
+        out.append((path, pos, end - pos))
+        pos = end
+    return out
+
+
 def warc_to_web_pages(records: DataFrame) -> DataFrame:
     """Project parsed records onto the engine's input_hint table shape
     (url, warc_ts, html, text, lang) — ready for operators/extract."""

@@ -63,6 +63,34 @@ def test_distributed_read_matches_single_parse(spark, tmp_path):
         .toString().split("MapInPandas")[-1]
 
 
+def test_ranged_record_reads_match_full_scan(spark, tmp_path):
+    """CC-index path: reading only the (offset, length) ranges of the
+    response members must reproduce exactly those records — and a
+    SELECTIVE index (every 3rd record) must read only what it names."""
+    out = W.write_warc_fixture(str(tmp_path / "w"), n=30, n_files=2)
+    import glob
+    idx = []
+    for p in sorted(glob.glob(out + "/*.warc.gz")):
+        idx += S.warc_member_index(p)
+    # keep only members that hold response records (parse each range
+    # once driver-side to classify — the fixture interleaves
+    # warcinfo/request members)
+    resp = [(p, o, ln) for (p, o, ln) in idx
+            if S.parse_warc(open(p, "rb").read()[o:o + ln])]
+    full = {r.url: bytes(r.html)
+            for r in S.read_warc_df(spark, out).collect()}
+    index_df = spark.createDataFrame(
+        resp, "path string, offset long, length long")
+    ranged = {r.url: bytes(r.html)
+              for r in S.read_warc_records_df(spark, index_df).collect()}
+    assert ranged == full
+    some = spark.createDataFrame(
+        resp[::3], "path string, offset long, length long")
+    sel = S.read_warc_records_df(spark, some).collect()
+    assert len(sel) == len(resp[::3])
+    assert all(r.ok for r in sel)
+
+
 def test_warc_to_web_pages_feeds_extract(spark, tmp_path):
     """End-to-end: a WARC carrying REAL fixture pages parses through
     warc_to_web_pages -> operators/extract with output equal to the
