@@ -3,7 +3,8 @@
     zip -r ferenda_spark.zip ferenda_spark
     spark-submit --py-files ferenda_spark.zip tools/run_pipeline.py \
         --pages <input parquet dir/table> --out <output dir> \
-        [--entries <checkpoint dir>] [--partitions N] [--synth N]
+        [--entries <checkpoint dir>] [--partitions N] [--synth N] \
+        [--warc <dir of .warc/.warc.gz>]
 
 On a cluster, drop the local master: spark-submit's own --master /
 executor flags control the topology; this script only declares the
@@ -25,6 +26,9 @@ def main() -> None:
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--synth", type=int, default=None,
                     help="use N synthetic pages instead of --pages")
+    ap.add_argument("--warc", default=None,
+                    help="ingest Common-Crawl-layout WARC files as the "
+                         "page source (sources/warc.py)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -36,10 +40,14 @@ def main() -> None:
 
     if args.synth:
         pages = web_pages_df_dist(spark, args.synth)
+    elif args.warc:
+        from ferenda_spark.sources.warc import (read_warc_df,
+                                                warc_to_web_pages)
+        pages = warc_to_web_pages(read_warc_df(spark, args.warc))
     elif args.pages:
         pages = spark.read.parquet(args.pages)
     else:
-        ap.error("one of --pages / --synth is required")
+        ap.error("one of --pages / --synth / --warc is required")
 
     res = pipeline.run(spark, pages, commondata_df(spark), args.out,
                        entries_path=args.entries,
