@@ -2537,6 +2537,53 @@ def q_kg_degree_distribution(spark, sf_dir):
             .select(F.col("deg").cast("long").alias("degree"), "n_nodes"))
 
 
+def q_kg_triangles(spark, sf_dir):
+    """Per-node triangle counts over a deterministic multi-degree graph
+    (three affine generators over the doc set) — the graph-quality
+    statistic (clustering structure) a KG health report carries next
+    to the degree histogram.
+
+    Scale shape: the standard ordered-adjacency enumeration — edges
+    canonicalized to a<b once, so each triangle x<y<z is found exactly
+    once by joining (x,y)⋈(y,z) and closing with (x,z); both joins are
+    equi-joins on edge keys (shuffle by vertex / by edge), never an
+    all-pairs product.  At 10^9 edges the wedge join shuffles
+    wedge-count rows — the known cost of exact counting; sampling or
+    degree-splitting (high-degree vertices handled densely) drops in
+    without changing this plan's shape."""
+    d = _read(spark, sf_dir, "documents")
+    dn = _with_doc_count(d)
+    # small-world shape: dense 16-doc neighborhoods (i~i+1, i~i+2
+    # inside a block -> every consecutive triple closes a triangle,
+    # the clustering a real link graph shows) + one affine long-range
+    # generator for cross-block edges
+    nbr1 = dn.select(F.col("doc_id").alias("u"),
+                     (F.col("doc_id") + 1).alias("v")) \
+        .where(F.expr("u div 16 = v div 16"))
+    nbr2 = dn.select(F.col("doc_id").alias("u"),
+                     (F.col("doc_id") + 2).alias("v")) \
+        .where(F.expr("u div 16 = v div 16"))
+    far = dn.select(F.col("doc_id").alias("u"),
+                    ((F.col("doc_id") * 7 + 3) % F.col("_n")).alias("v"))
+    raw = nbr1.unionByName(nbr2).unionByName(far)
+    e = (raw.where((F.col("u") != F.col("v")) & F.col("v").isNotNull())
+         .join(dn.select(F.col("doc_id").alias("v")), "v", "left_semi")
+         .select(F.least("u", "v").alias("a"),
+                 F.greatest("u", "v").alias("b"))
+         .distinct())
+    exy = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    eyz = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    exz = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = (exy.join(eyz, "y")
+           .join(exz, ["x", "z"]))          # closes the wedge
+    per_node = (tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+                .groupBy("node")
+                .agg(F.count("*").cast("long").alias("n_triangles"))
+                .select(F.col("node").cast("long").alias("node"),
+                        "n_triangles"))
+    return per_node
+
+
 def q_pagerank_3iter(spark, sf_dir):
     """Iterative algorithm as chained self-joins: 3 PageRank iterations
     (d=0.85) over the deterministic reference graph — every node has
@@ -3973,6 +4020,33 @@ SELECT deg::BIGINT AS degree, count(*)::BIGINT AS n_nodes
 FROM deg GROUP BY deg
 """
 
+ORACLE["kg_triangles"] = """
+WITH n AS (SELECT count(*) AS cnt FROM documents),
+raw AS (
+  SELECT doc_id AS u, doc_id + 1 AS v FROM documents
+  WHERE doc_id // 16 = (doc_id + 1) // 16
+  UNION ALL
+  SELECT doc_id, doc_id + 2 FROM documents
+  WHERE doc_id // 16 = (doc_id + 2) // 16
+  UNION ALL
+  SELECT doc_id, (doc_id * 7 + 3) % (SELECT cnt FROM n) FROM documents),
+e AS (
+  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+  FROM raw
+  WHERE u <> v AND v IN (SELECT doc_id FROM documents)),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+nodes AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri)
+SELECT node::BIGINT AS node, count(*)::BIGINT AS n_triangles
+FROM nodes GROUP BY node
+"""
+
 ORACLE["pagerank_3iter"] = """
 WITH n AS (SELECT count(*) AS cnt FROM documents),
 edges AS (SELECT doc_id AS src, (doc_id * 7 + 3) % (SELECT cnt FROM n) AS dst
@@ -4345,6 +4419,8 @@ def registry_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_from_labels": q_split_from_labels,
         # WARC container ingest round trip (sources/warc.py)
         "warc_ingest": q_warc_ingest,
+        # per-node triangle counts (ordered-adjacency enumeration)
+        "kg_triangles": q_kg_triangles,
         "dedup_semantic_prod": q_dedup_semantic_prod,
         "ann_ivf_topk_prod": q_ann_ivf_topk_prod,
         "multimodal_features": q_multimodal_features,
