@@ -2537,6 +2537,21 @@ def q_kg_degree_distribution(spark, sf_dir):
             .select(F.col("deg").cast("long").alias("degree"), "n_nodes"))
 
 
+def q_bpe_merges(spark, sf_dir):
+    """Distributed BPE tokenizer TRAINING (operators/bpe.py): one
+    corpus pass builds the word-frequency dictionary, then each of 12
+    merge rounds is a pair-count aggregate + 1-row argmax fetch + a
+    narrow Arrow merge over the dictionary table (never the corpus).
+    Rows-only at the registry layer (a merge loop is not
+    SQL-expressible); the correctness gate is EXACT parity with the
+    pure-Python reference learner on the same corpus
+    (tests/test_bpe.py)."""
+    from ferenda_spark.operators.bpe import learn_bpe, merges_df, words_df
+    d = _read_wide(spark, sf_dir, "documents")
+    merges = learn_bpe(words_df(d), n_merges=12)
+    return merges_df(spark, merges)
+
+
 def q_kg_triangles(spark, sf_dir):
     """Per-node triangle counts over a deterministic multi-degree graph
     (three affine generators over the doc set) — the graph-quality
@@ -4421,6 +4436,8 @@ def registry_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest": q_warc_ingest,
         # per-node triangle counts (ordered-adjacency enumeration)
         "kg_triangles": q_kg_triangles,
+        # BPE tokenizer training (rows-only; exact-parity-gated)
+        "bpe_merges": q_bpe_merges,
         "dedup_semantic_prod": q_dedup_semantic_prod,
         "ann_ivf_topk_prod": q_ann_ivf_topk_prod,
         "multimodal_features": q_multimodal_features,
