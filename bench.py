@@ -94,6 +94,12 @@ BENCH_QUERIES = [
     "shard_assign",
     "split_train_eval",
     "domain_cap_rank",
+    # round-4 additions
+    "warc_ingest",
+    "multimodal_meta",
+    "kg_triangles",
+    "bpe_merges",
+    "split_from_labels",
 ]
 
 # training-data ops re-measured on a synthesized LARGE documents corpus

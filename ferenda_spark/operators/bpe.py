@@ -111,6 +111,44 @@ def merges_df(spark, merges: list[tuple[str, str]]) -> DataFrame:
         "rank long, left string, right string, merged string")
 
 
+def encode_word_py(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Canonical BPE inference: repeatedly merge the LOWEST-RANK
+    adjacent pair until none applies (equivalent to replaying the
+    learned merges in order)."""
+    syms = list(word) + [END]
+    while len(syms) > 1:
+        best_i, best_rank = -1, None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_i, best_rank = i, r
+        if best_rank is None:
+            break
+        syms[best_i:best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def encode_words(words: DataFrame,
+                 merges: list[tuple[str, str]]) -> DataFrame:
+    """Apply learned merges to the word DICTIONARY — again never the
+    corpus stream: each distinct word encodes once, and the corpus
+    picks its pieces up by a broadcast join on the word column.
+    Narrow Arrow map; the ranks table rides the closure (a few KB;
+    a production vocab broadcasts the same way)."""
+    ranks = {m: i for i, m in enumerate(merges)}
+
+    def gen(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            pieces = [encode_word_py(w, ranks) for w in pdf["word"]]
+            yield pd.DataFrame({
+                "word": pdf["word"], "count": pdf["count"],
+                "pieces": pieces,
+                "n_pieces": [len(p) for p in pieces]})
+
+    return words.mapInPandas(
+        gen, "word string, count long, pieces array<string>, n_pieces long")
+
+
 # ---------------------------------------------------------------------------
 # pure-Python reference twin (the parity gate)
 

@@ -2552,6 +2552,28 @@ def q_bpe_merges(spark, sf_dir):
     return merges_df(spark, merges)
 
 
+def q_bpe_encode(spark, sf_dir):
+    """BPE INFERENCE with the learned merges (train->apply loop
+    closed): the word dictionary encodes once (greedy lowest-rank
+    merging, operators/bpe.encode_words), then the corpus-level
+    fertility report aggregates pieces-per-word weighted by word
+    frequency.  Rows-only (loop-learned merges inside); parity-gated
+    in tests/test_bpe.py."""
+    from ferenda_spark.operators.bpe import (encode_words, learn_bpe,
+                                             words_df)
+    d = _read_wide(spark, sf_dir, "documents")
+    words = words_df(d).localCheckpoint()   # consumed by learn + encode
+    merges = learn_bpe(words, n_merges=12)
+    enc = encode_words(words, merges)
+    return (enc.select(
+        F.concat_ws(" ", "pieces").alias("encoded"), "word", "count",
+        "n_pieces")
+        .withColumn("weighted_pieces", F.col("count") * F.col("n_pieces"))
+        .select("word", "count", "n_pieces", "encoded",
+                F.col("weighted_pieces").cast("long")
+                .alias("weighted_pieces")))
+
+
 def q_kg_triangles(spark, sf_dir):
     """Per-node triangle counts over a deterministic multi-degree graph
     (three affine generators over the doc set) — the graph-quality
@@ -4436,8 +4458,9 @@ def registry_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest": q_warc_ingest,
         # per-node triangle counts (ordered-adjacency enumeration)
         "kg_triangles": q_kg_triangles,
-        # BPE tokenizer training (rows-only; exact-parity-gated)
+        # BPE tokenizer training + inference (rows-only; parity-gated)
         "bpe_merges": q_bpe_merges,
+        "bpe_encode": q_bpe_encode,
         "dedup_semantic_prod": q_dedup_semantic_prod,
         "ann_ivf_topk_prod": q_ann_ivf_topk_prod,
         "multimodal_features": q_multimodal_features,

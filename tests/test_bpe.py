@@ -42,3 +42,28 @@ def test_registry_query_schema(spark):
     rows = df.orderBy("rank").collect()
     assert [r.rank for r in rows] == list(range(len(rows)))
     assert all(r.merged == r.left + r.right for r in rows)
+
+
+def test_encode_matches_python_and_roundtrips(spark):
+    d = Q._read_wide(spark, SF, "documents")
+    words = B.words_df(d)
+    merges = B.learn_bpe(words, n_merges=16)
+    ranks = {m: i for i, m in enumerate(merges)}
+    enc = {r.word: list(r.pieces)
+           for r in B.encode_words(words, merges).collect()}
+    for w in enc:
+        assert enc[w] == B.encode_word_py(w, ranks)
+        # pieces reassemble the word exactly (with the end marker)
+        assert "".join(enc[w]) == w + B.END
+    # merges actually compress: some word encodes to fewer pieces
+    assert any(len(p) < len(w) + 1 for w, p in enc.items())
+
+
+def test_q_bpe_encode_schema(spark):
+    df = Q.q_bpe_encode(spark, SF)
+    rows = df.collect()
+    assert df.columns == ["word", "count", "n_pieces", "encoded",
+                          "weighted_pieces"]
+    for r in rows:
+        assert r.weighted_pieces == r["count"] * r.n_pieces
+        assert len(r.encoded.split(" ")) == r.n_pieces

@@ -20,7 +20,7 @@ NO_ORACLE = {"kg_pipeline"}
 # same, for registry_extra (pandas-UDF stages DuckDB cannot express);
 # these get a determinism gate instead (tests/test_multimodal.py)
 NO_ORACLE_EXTRA = {"multimodal_features", "multimodal_frame_sample",
-                   "multimodal_resize", "bpe_merges"}
+                   "multimodal_resize", "bpe_merges", "bpe_encode"}
 
 
 def test_registry_is_exactly_50():
