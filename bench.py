@@ -192,7 +192,9 @@ def docs_bench_one(cores: int, n_docs: int) -> dict:
 
     spark = get_spark(f"bench_docs_{cores}", cores=cores,
                       shuffle_partitions=max(cores, 8))
-    fn = Q.registry_extra()["web_corpus_scrub_chain"]
+    # r4 rotation moved the chain into the driver window — look it up
+    # across both registries so future rotations can't strand this path
+    fn = {**Q.registry(), **Q.registry_extra()}["web_corpus_scrub_chain"]
     with tempfile.TemporaryDirectory() as td:
         (documents_df_dist(spark, n_docs)
          .write.mode("overwrite").parquet(f"{td}/documents.parquet"))

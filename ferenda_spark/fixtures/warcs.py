@@ -32,8 +32,12 @@ def record_status(i: int) -> int:
 
 
 def _warc_ts(i: int) -> str:
-    h, m = divmod(i, 60)
-    return f"2026-01-01T{h:02d}:{m:02d}:00Z"
+    # full date arithmetic (not just the hour field): i >= 1440 must
+    # roll into the next day, matching the oracle's
+    # "+ i * INTERVAL 1 MINUTE"
+    from datetime import datetime, timedelta
+    t = datetime(2026, 1, 1) + timedelta(minutes=i)
+    return t.strftime("%Y-%m-%dT%H:%M:%SZ")
 
 
 def _record(headers: list[tuple[str, str]], body: bytes) -> bytes:

@@ -74,7 +74,6 @@ def _merge_batch(pdfs: Iterator[pd.DataFrame],
 def learn_bpe(words: DataFrame, n_merges: int,
               checkpoint_every: int = 4) -> list[tuple[str, str]]:
     """(word, count) table -> ordered merge list [(left, right), ...]."""
-    spark = words.sparkSession
     tbl = words.select(
         "count",
         F.concat(F.split("word", ""), F.array(F.lit(END)))

@@ -132,6 +132,11 @@ def decode_bmp(data: bytes) -> tuple[int, int, bytes, int]:
     bottom_up = h > 0
     h = abs(h)
     stride = (w * 3 + 3) & ~3
+    if len(data) < off + stride * h:
+        # a short slice assignment below would silently SHRINK the
+        # buffer instead of erroring — validate like decode_png's
+        # short-idat check so truncation quarantines
+        raise ValueError("truncated bmp pixel data")
     out = bytearray(w * h * 3)
     for y in range(h):
         src = off + (h - 1 - y if bottom_up else y) * stride

@@ -222,7 +222,16 @@ def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
         for pdf in batches:
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 data = bytes(payload) if payload is not None else b""
-                w, h, _ = decode_image(data)
+                try:
+                    w, h, _ = decode_image(data)
+                except Exception:
+                    # malformed/truncated payload -> quarantine row
+                    # (null dims), never a failed Spark job — the real
+                    # decoders raise where the old stub could not
+                    rows.append({"media_id": mid, "orig_w": None,
+                                 "orig_h": None, "new_w": None,
+                                 "new_h": None, "resized_sha1": None})
+                    continue
                 scale = min(1.0, max_side / max(w, h))
                 nw = max(1, int(round(w * scale)))
                 nh = max(1, int(round(h * scale)))

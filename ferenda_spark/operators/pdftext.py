@@ -116,15 +116,22 @@ def _is_encrypted(data: bytes) -> bool:
     whole body false-positives on content streams or comments that
     merely contain the byte pattern."""
     for m in re.finditer(rb"trailer\b", data):
-        if _ENCRYPT_RE.search(data[m.end():m.end() + 2048]):
+        # probe up to the dict's closing startxref (trailer dicts can
+        # exceed a fixed 2 KB window: long /ID arrays, many keys)
+        end = data.find(b"startxref", m.end())
+        end = m.end() + 16384 if end < 0 else min(end, m.end() + 16384)
+        if _ENCRYPT_RE.search(data[m.end():end]):
             return True
-    m = re.search(rb"startxref\s+(\d+)", data[-256:])
-    if m:  # xref-stream PDFs carry the trailer keys in the stream dict
-        at = data[int(m.group(1)):]
+    # the spec allows %%EOF within the last 1024 bytes; scan a 2 KB
+    # tail for the LAST startxref
+    tail = data[-2048:]
+    matches = list(re.finditer(rb"startxref\s+(\d+)", tail))
+    if matches:  # xref-stream PDFs carry the trailer keys in the dict
+        at = data[int(matches[-1].group(1)):]
         if re.match(rb"\s*\d+\s+\d+\s+obj\b", at):
             # probe the xref-stream object's DICT only (up to the
             # stream keyword), never the stream payload
-            if _ENCRYPT_RE.search(at[:2048].split(b"stream", 1)[0]):
+            if _ENCRYPT_RE.search(at[:16384].split(b"stream", 1)[0]):
                 return True
     return False
 

@@ -118,21 +118,51 @@ def parse_warc(data: bytes, source_file: str = "") -> list[dict]:
     warcinfo/request/metadata records are skipped (the table the
     engine consumes is the response payloads); malformed records
     become quarantine rows (ok=False) without sinking the file."""
+    def _quarantine(err: Exception, url=None, wtype=None) -> dict:
+        return {"url": url, "warc_ts": None, "warc_type": wtype,
+                "http_status": None, "content_type": None, "html": None,
+                "n_bytes": 0, "ok": False,
+                "error": f"{type(err).__name__}: {err}",
+                "source_file": source_file}
+
     rows: list[dict] = []
-    for member in gunzip_members(data):
-        for headers, body in _split_records(member):
+    members = gunzip_members(data)
+    while True:
+        # a truncated gzip member quarantines and stops THIS file's
+        # member walk (no resync point past a broken deflate stream);
+        # everything already parsed is kept
+        try:
+            member = next(members)
+        except StopIteration:
+            break
+        except Exception as e:
+            rows.append(_quarantine(e))
+            break
+        recs = _split_records(member)
+        while True:
+            # record-level framing errors (missing Content-Length,
+            # truncated header block, body past the buffer) quarantine
+            # the MEMBER and move on to the next one — never the file
+            try:
+                headers, body = next(recs)
+            except StopIteration:
+                break
+            except Exception as e:
+                rows.append(_quarantine(e))
+                break
             wtype = headers.get("warc-type", "")
             if wtype != "response":
                 continue
             row = {
-                "url": headers.get("warc-target-uri"),
-                "warc_ts": pd.Timestamp(headers["warc-date"])
-                .tz_convert(None) if "warc-date" in headers else None,
+                "url": headers.get("warc-target-uri"), "warc_ts": None,
                 "warc_type": wtype, "http_status": None,
                 "content_type": None, "html": None, "n_bytes": 0,
                 "ok": True, "error": None, "source_file": source_file,
             }
             try:
+                if "warc-date" in headers:
+                    row["warc_ts"] = pd.Timestamp(
+                        headers["warc-date"]).tz_convert(None)
                 status, ctype, payload = _parse_http_response(body)
                 row.update(http_status=status, content_type=ctype,
                            html=payload, n_bytes=len(payload))
@@ -168,9 +198,11 @@ def read_warc_records_df(spark: SparkSession, index: DataFrame) -> DataFrame:
     (offset, length) byte ranges its index rows point at (Common Crawl
     publishes exactly this columnar index; the one-gzip-member-per-
     record layout exists so a single record inflates from a ranged
-    read).  ``index``: (path, offset, length) rows.  Locally the range
-    read is a seek; against object storage the same code issues ranged
-    GETs.  Blobs never shuffle; parallelism = index partitioning, so a
+    read).  ``index``: (path, offset, length) rows.  This
+    implementation reads LOCAL files (seek + read; the sandbox has no
+    object store) — deploying against S3/GCS swaps the open/seek pair
+    for the storage client's ranged-GET call, plan shape unchanged.
+    Blobs never shuffle; parallelism = index partitioning, so a
     selective query (one domain, one language) touches only its
     records — the row-group-pruning story, applied to crawl archives."""
 

@@ -73,6 +73,37 @@ def test_resize_preserves_aspect_and_never_upscales(spark):
         r2.sort_values("media_id").reset_index(drop=True))
 
 
+def test_resize_quarantines_malformed_payloads(spark):
+    """Code-review regression: a truncated/undecodable image payload
+    must yield a null-dims quarantine row, not fail the Spark job
+    (the real decoders raise where the old stub could not)."""
+    from ferenda_spark.operators.mediacodecs import PNG_SIG, encode_png
+    from ferenda_spark.operators.multimodal import (MEDIA_SCHEMA,
+                                                    resize_images)
+    rows = [
+        (1, "image", PNG_SIG + b"garbage", "image/png", {}),
+        (2, "image", b"BMshort", "image/bmp", {}),
+        (3, "image", encode_png(4, 4, bytes(48)), "image/png", {}),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r for r in resize_images(media, 16).collect()}
+    assert len(got) == 3
+    assert got[1].orig_w is None and got[1].resized_sha1 is None
+    assert got[2].orig_w is None
+    assert got[3].orig_w == 4 and got[3].new_w == 4
+
+
+def test_bmp_truncation_raises():
+    """Code-review regression: a short BMP must raise (quarantine),
+    not silently return a shrunken pixel buffer."""
+    import pytest as _pytest
+
+    from ferenda_spark.operators.mediacodecs import decode_bmp, encode_bmp
+    data = encode_bmp(6, 5, bytes(90))
+    with _pytest.raises(ValueError):
+        decode_bmp(data[:-20])
+
+
 def test_registry_query_runs_with_stable_schema(spark):
     df = Q.q_multimodal_frame_sample(spark, SF)
     assert df.columns == ["media_id", "frame_idx", "ts_s", "frame_sha1",

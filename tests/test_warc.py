@@ -37,8 +37,7 @@ def test_gunzip_members_walks_concatenated_stream():
 
 
 def test_malformed_http_quarantines_not_raises():
-    rec = S._split_records(W.build_warc_file([7], compress=False))
-    # hand-build a response record whose body has no http framing
+    # a response record whose body has no http framing
     bad = (b"WARC/1.0\r\nWARC-Type: response\r\n"
            b"WARC-Target-URI: https://x/1\r\n"
            b"WARC-Date: 2026-01-01T00:00:00Z\r\n"
@@ -46,7 +45,37 @@ def test_malformed_http_quarantines_not_raises():
     rows = S.parse_warc(bad)
     assert len(rows) == 1 and rows[0]["ok"] is False
     assert "http framing" in rows[0]["error"]
-    del rec
+
+
+def test_framing_error_quarantines_member_keeps_others():
+    """Code-review regression: one record with broken WARC framing
+    (no Content-Length) must quarantine — NOT raise out of parse_warc
+    and lose the whole file; records in other gzip members survive."""
+    broken = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+              b"WARC-Target-URI: https://x/broken\r\n\r\nwhatever")
+    good = W._response_record(3)
+    blob = (gzip.compress(broken, mtime=0)
+            + gzip.compress(good, mtime=0))
+    rows = S.parse_warc(blob)
+    assert len(rows) == 2
+    bad_row = next(r for r in rows if not r["ok"])
+    assert "Content-Length" in bad_row["error"]
+    good_row = next(r for r in rows if r["ok"])
+    assert good_row["url"] == f"{W.BASE_URL}3"
+    # truncated FINAL gzip member: keep everything before it
+    blob2 = gzip.compress(good, mtime=0) + gzip.compress(
+        W._response_record(4), mtime=0)[:-6]
+    rows2 = S.parse_warc(blob2)
+    assert any(r["ok"] and r["url"] == f"{W.BASE_URL}3" for r in rows2)
+    assert any(not r["ok"] for r in rows2)
+
+
+def test_fixture_timestamps_roll_days():
+    """Code-review regression: i >= 1440 must roll into the next day
+    (not an invalid hour-24 date)."""
+    assert W._warc_ts(1441) == "2026-01-02T00:01:00Z"
+    rows = S.parse_warc(W.build_warc_file([1441]))
+    assert rows[0]["ok"] and rows[0]["warc_ts"].day == 2
 
 
 def test_distributed_read_matches_single_parse(spark, tmp_path):

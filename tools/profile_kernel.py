@@ -88,10 +88,8 @@ def main():
     for k in sorted(TIMES, key=TIMES.get, reverse=True):
         print(f"{k:34s} {TIMES[k]:8.3f} {100 * TIMES[k] / wall:5.1f}% "
               f"{CALLS[k]:7d}")
-    accounted = sum(v for k, v in TIMES.items() if "." in k
-                    and not k.startswith("cite.") or k.startswith("cite."))
-    print(f"\n(top-level phases overlap nested ones; "
-          f"unattributed glue = wall - sum of non-nested phases)")
+    print("\n(shares overlap where phases nest, e.g. as_plaintext "
+          "inside w3c_structure — read as attribution, not a sum)")
 
 
 if __name__ == "__main__":
