@@ -561,17 +561,26 @@ def q_dedup_clusters(spark, sf_dir, pairs_fn=None):
     # algorithm discipline (same as operators/kmeans.py)
     pairs = ((pairs_fn or q_dedup_lsh_pairs)(spark, sf_dir)
              .select("doc_a", "doc_b").localCheckpoint())
-    d = _read(spark, sf_dir, "documents").select("doc_id")
+    nodes = _read(spark, sf_dir, "documents").select("doc_id")
+    return _hashmin_labels(nodes, pairs)
+
+
+def _hashmin_labels(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
+    """HashMin connected components over (nodes, undirected pairs) ->
+    (doc_id, cluster_id) with cluster_id = min node id of the
+    component.  The iterative core shared by the full clustering and
+    the incremental label update."""
     # symmetric closed-neighborhood edges (self-loops keep isolated
     # nodes and make min-propagation monotone)
     edges = (pairs.selectExpr("doc_a AS src", "doc_b AS dst")
              .unionByName(pairs.selectExpr("doc_b AS src",
                                            "doc_a AS dst"))
-             .unionByName(d.selectExpr("doc_id AS src",
-                                       "doc_id AS dst"))
+             .unionByName(nodes.selectExpr("doc_id AS src",
+                                           "doc_id AS dst"))
              .localCheckpoint())
-    labels = d.select("doc_id", F.col("doc_id").alias("label")) \
-              .localCheckpoint()
+    labels = nodes.select("doc_id", F.col("doc_id").alias("label")) \
+                  .localCheckpoint()
+
     def _hop(lbl):
         prop = (edges.join(lbl, edges.dst == lbl.doc_id)
                 .groupBy("src")
@@ -604,6 +613,69 @@ def q_dedup_clusters(spark, sf_dir, pairs_fn=None):
             f"component diameter exceeds 32 — raise the round bound")
     return labels.select("doc_id",
                          F.col("label").cast("long").alias("cluster_id"))
+
+
+def update_cluster_labels(labels: DataFrame, new_pairs: DataFrame,
+                          new_docs: DataFrame) -> DataFrame:
+    """INCREMENTAL cluster-label maintenance — the state-refresh step
+    between q_dedup_lsh_incremental (new batch's candidate pairs
+    against the persisted band index) and split_from_labels /
+    dedup_keep_canonical: update the persisted (doc_id, cluster_id)
+    table touching ONLY the components the new edges reach, never
+    re-clustering the corpus.
+
+    Contract (the oracle/test gate): output == full re-clustering over
+    (old pairs + new pairs).  Correct because each affected old
+    component is collapsed to a STAR (member -> its cluster_id, which
+    IS the component's min member) — a connectivity- and min-
+    preserving contraction — so HashMin over star edges + new edges
+    reproduces exactly the merged components' min labels.
+
+    Scale shape: the subgraph is affected components + the new batch
+    (semi-joins pick them out of the labels table); untouched labels
+    pass through with zero compute.  A daily batch against a 10^12-doc
+    corpus propagates over batch-sized data, not corpus-sized."""
+    touched = (new_pairs.select(F.col("doc_a").alias("doc_id"))
+               .unionByName(new_pairs.select(F.col("doc_b")
+                                             .alias("doc_id")))
+               .unionByName(new_docs.select("doc_id"))
+               .distinct().localCheckpoint())
+    aff = (labels.join(touched, "doc_id", "left_semi")
+           .select("cluster_id").distinct())
+    members = labels.join(aff, "cluster_id", "left_semi")
+    # star contraction: member -> old cluster id (the min member)
+    star = members.select(F.col("doc_id").alias("doc_a"),
+                          F.col("cluster_id").alias("doc_b"))
+    sub_nodes = (members.select("doc_id")
+                 .unionByName(touched.select("doc_id"))
+                 .distinct())
+    sub_labels = _hashmin_labels(sub_nodes,
+                                 star.unionByName(
+                                     new_pairs.select("doc_a", "doc_b")))
+    untouched = labels.join(aff, "cluster_id", "left_anti")
+    return untouched.unionByName(sub_labels)
+
+
+def q_dedup_clusters_incremental(spark, sf_dir):
+    """The daily-crawl clustering refresh: persisted labels over the
+    OLD corpus (doc_id % 5 != 0, the same batch convention as
+    q_dedup_lsh_incremental) + the incremental LSH candidate pairs for
+    the new batch -> updated labels via update_cluster_labels.  The
+    oracle pins the contract output == full clustering over ALL
+    production-config pairs (old-old pairs never touch a new doc, so
+    state + incremental pairs carry exactly the same information)."""
+    d = _read(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 5 == 0
+    all_pairs = q_dedup_lsh_pairs_prod(spark, sf_dir).localCheckpoint()
+    touches_new = (F.col("doc_a") % 5 == 0) | (F.col("doc_b") % 5 == 0)
+    old_pairs = all_pairs.where(~touches_new)
+    new_pairs = all_pairs.where(touches_new)
+    # persisted state: clustering of the old corpus (stand-in for the
+    # stored labels table, like incremental LSH's band index)
+    old_labels = _hashmin_labels(d.where(~is_new).select("doc_id"),
+                                 old_pairs).localCheckpoint()
+    return update_cluster_labels(old_labels, new_pairs,
+                                 d.where(is_new).select("doc_id"))
 
 
 def _site_triples(spark, sf_dir) -> DataFrame:
@@ -3195,6 +3267,12 @@ SELECT doc_id, cluster_id,
 FROM labels
 """
 
+ORACLE["dedup_clusters_incremental"] = f"""
+WITH RECURSIVE {_lsh_pairs_ctes(16, 4, 4, 0.5, bucket_cap=256)},
+{_CC_CTES}
+SELECT doc_id, cluster_id FROM labels
+"""
+
 ORACLE["split_from_labels"] = f"""
 WITH RECURSIVE {_lsh_pairs_ctes(16, 4, 4, 0.5, bucket_cap=256)},
 {_CC_CTES},
@@ -4456,6 +4534,8 @@ def registry_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_from_labels": q_split_from_labels,
         # WARC container ingest round trip (sources/warc.py)
         "warc_ingest": q_warc_ingest,
+        # incremental cluster-label maintenance (== full re-cluster)
+        "dedup_clusters_incremental": q_dedup_clusters_incremental,
         # per-node triangle counts (ordered-adjacency enumeration)
         "kg_triangles": q_kg_triangles,
         # BPE tokenizer training + inference (rows-only; parity-gated)

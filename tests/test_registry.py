@@ -179,3 +179,28 @@ def test_filter_cascade_reason_branches(spark, tmp_path):
     assert out[4].fail_reason == "low_diversity"
     assert out[5].fail_reason == "word_length"
     assert out[6].fail_reason == "too_short"
+
+
+def test_incremental_cluster_update_equals_full(spark):
+    """update_cluster_labels contract: persisted old-corpus labels +
+    the new batch's pairs must reproduce the FULL re-clustering
+    exactly (star contraction preserves connectivity and min labels);
+    and components untouched by new edges pass through verbatim."""
+    inc = {(r.doc_id, r.cluster_id) for r in
+           Q.q_dedup_clusters_incremental(spark, SF_DIR).collect()}
+    full = {(r.doc_id, r.cluster_id) for r in
+            Q.q_dedup_clusters(
+                spark, SF_DIR,
+                pairs_fn=Q.q_dedup_lsh_pairs_prod).collect()}
+    assert inc == full
+    # unit: an untouched far component survives, a bridged pair merges
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (10, 10), (20, 20)],
+        "doc_id long, cluster_id long")
+    new_pairs = spark.createDataFrame(
+        [(10, 100), (100, 20)], "doc_a long, doc_b long")
+    new_docs = spark.createDataFrame([(100,)], "doc_id long")
+    got = {r.doc_id: r.cluster_id for r in
+           Q.update_cluster_labels(labels, new_pairs, new_docs)
+           .collect()}
+    assert got == {1: 1, 2: 1, 10: 10, 20: 10, 100: 10}
