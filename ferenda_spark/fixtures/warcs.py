@@ -92,15 +92,29 @@ def build_warc_file(ids: list[int], compress: bool = True) -> bytes:
         gzip.compress(r, compresslevel=1, mtime=0) for r in records)
 
 
+def fixture_dir(name: str) -> str:
+    """Absolute, configurable fixture root: $FERENDA_FIXTURE_DIR if
+    set, else <repo>/spark-warehouse — never cwd-relative, so driver
+    and executors agree on the path regardless of working directory."""
+    base = os.environ.get("FERENDA_FIXTURE_DIR") or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), "spark-warehouse")
+    return os.path.join(base, name)
+
+
 def write_warc_fixture(out_dir: str, n: int = 200,
                        n_files: int = 4) -> str:
     """Round-robin n records across n_files .warc.gz files (idempotent
-    — deterministic bytes, skipped if already on disk)."""
+    — deterministic bytes, skipped if already on disk).  Writes are
+    atomic (temp file + os.replace) so a concurrent reader never sees
+    a partially written .warc.gz."""
     os.makedirs(out_dir, exist_ok=True)
     for f in range(n_files):
         path = os.path.join(out_dir, f"crawl-{f:02d}.warc.gz")
         if not os.path.exists(path):
             data = build_warc_file(list(range(f, n, n_files)))
-            with open(path, "wb") as fh:
+            tmp = f"{path}.tmp.{os.getpid()}"
+            with open(tmp, "wb") as fh:
                 fh.write(data)
+            os.replace(tmp, path)
     return out_dir

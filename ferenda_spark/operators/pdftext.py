@@ -108,19 +108,41 @@ _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)endobj", re.S)
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)(?:\r?\n)?endstream", re.S)
 _REF_RE = rb"(\d+)\s+\d+\s+R"
 _ENCRYPT_RE = re.compile(rb"/Encrypt\s+\d+\s+\d+\s+R")
+_DICT_OPEN_RE = re.compile(rb"\s*<<")
+
+
+def _dict_at(data: bytes, pos: int, cap: int = 1 << 20) -> bytes | None:
+    """The balanced ``<< ... >>`` dictionary starting at the first
+    non-whitespace byte after ``pos``, or None if there isn't one (or
+    it never closes within ``cap`` bytes — unclosed dicts mean the
+    keyword was data, not structure)."""
+    m = _DICT_OPEN_RE.match(data, pos)
+    if not m:
+        return None
+    i, depth, end = m.end(), 1, min(len(data), m.end() + cap)
+    while depth and i < end:
+        two = data[i:i + 2]
+        if two == b"<<":
+            depth += 1
+            i += 2
+        elif two == b">>":
+            depth -= 1
+            i += 2
+        else:
+            i += 1
+    return data[m.start():i] if depth == 0 else None
 
 
 def _is_encrypted(data: bytes) -> bool:
     """/Encrypt is only meaningful inside the trailer dictionary (or
-    the cross-reference-stream dict startxref points at) — probing the
-    whole body false-positives on content streams or comments that
-    merely contain the byte pattern."""
+    the cross-reference-stream dict startxref points at).  The probe
+    parses the BALANCED ``<< >>`` dict that must immediately follow
+    the trailer keyword — no fixed byte window, so a trailer dict of
+    any length is covered and an /Encrypt ref merely NEAR a stray
+    'trailer' token (ADVICE r04) no longer false-positives."""
     for m in re.finditer(rb"trailer\b", data):
-        # probe up to the dict's closing startxref (trailer dicts can
-        # exceed a fixed 2 KB window: long /ID arrays, many keys)
-        end = data.find(b"startxref", m.end())
-        end = m.end() + 16384 if end < 0 else min(end, m.end() + 16384)
-        if _ENCRYPT_RE.search(data[m.end():end]):
+        d = _dict_at(data, m.end())
+        if d is not None and _ENCRYPT_RE.search(d):
             return True
     # the spec allows %%EOF within the last 1024 bytes; scan a 2 KB
     # tail for the LAST startxref
@@ -128,10 +150,12 @@ def _is_encrypted(data: bytes) -> bool:
     matches = list(re.finditer(rb"startxref\s+(\d+)", tail))
     if matches:  # xref-stream PDFs carry the trailer keys in the dict
         at = data[int(matches[-1].group(1)):]
-        if re.match(rb"\s*\d+\s+\d+\s+obj\b", at):
-            # probe the xref-stream object's DICT only (up to the
-            # stream keyword), never the stream payload
-            if _ENCRYPT_RE.search(at[:16384].split(b"stream", 1)[0]):
+        m = re.match(rb"\s*\d+\s+\d+\s+obj\b", at)
+        if m:
+            # probe the xref-stream object's DICT only, never the
+            # stream payload
+            d = _dict_at(at, m.end())
+            if d is not None and _ENCRYPT_RE.search(d):
                 return True
     return False
 

@@ -2796,9 +2796,9 @@ def q_warc_ingest(spark, sf_dir):
     recomputes the fields from range(n).  Gates the gzip-member walk,
     CRLF header parse, Content-Length body slicing and HTTP framing.
     n fixed at 200 so the static oracle matches at every sf."""
-    from ferenda_spark.fixtures.warcs import write_warc_fixture
+    from ferenda_spark.fixtures.warcs import fixture_dir, write_warc_fixture
     from ferenda_spark.sources.warc import read_warc_df
-    path = write_warc_fixture("spark-warehouse/warc_fixture_200", n=200)
+    path = write_warc_fixture(fixture_dir("warc_fixture_200"), n=200)
     recs = read_warc_df(spark, path)
     return recs.select(
         "url", "warc_ts",

@@ -100,17 +100,51 @@ def _split_records(raw: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
         pos = body_start + ln
 
 
+def _dechunk(payload: bytes) -> bytes:
+    """Undo HTTP/1.1 chunked transfer framing (RFC 9112 §7.1): each
+    chunk is ``<hex-size>[;ext]CRLF <data> CRLF``, terminated by a
+    zero-size chunk (trailers, if any, are dropped)."""
+    out = bytearray()
+    pos = 0
+    while True:
+        eol = payload.find(b"\r\n", pos)
+        if eol < 0:
+            raise ValueError("truncated chunk-size line")
+        size = int(payload[pos:eol].split(b";", 1)[0], 16)
+        if size == 0:
+            return bytes(out)
+        start = eol + 2
+        if start + size > len(payload):
+            raise ValueError("chunk data exceeds buffer")
+        out += payload[start:start + size]
+        pos = start + size + 2  # skip trailing CRLF
+
+
 def _parse_http_response(body: bytes) -> tuple[int, str, bytes]:
     """HTTP framing inside a response record -> (status, content-type,
-    payload bytes)."""
+    payload bytes).  Honors ``Transfer-Encoding: chunked`` (crawlers
+    commonly store the response verbatim, chunk framing included) and
+    truncates to the HTTP ``Content-Length`` when the stored block
+    carries trailing bytes past it."""
     sep = body.find(b"\r\n\r\n")
     if sep < 0 or not body.startswith(b"HTTP/"):
         raise ValueError("response record without http framing")
     head = body[:sep]
     status_line = head.split(b"\r\n", 1)[0].split()
     status = int(status_line[1])
-    ctype = _parse_headers(head).get("content-type", "")
-    return status, ctype, body[sep + 4:]
+    headers = _parse_headers(head)
+    ctype = headers.get("content-type", "")
+    payload = body[sep + 4:]
+    if "chunked" in headers.get("transfer-encoding", "").lower():
+        payload = _dechunk(payload)
+    elif "content-length" in headers:
+        try:
+            ln = int(headers["content-length"])
+        except ValueError:
+            ln = -1
+        if 0 <= ln < len(payload):
+            payload = payload[:ln]
+    return status, ctype, payload
 
 
 def parse_warc(data: bytes, source_file: str = "") -> list[dict]:

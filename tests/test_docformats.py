@@ -110,6 +110,36 @@ def test_pdf_encrypt_probe_is_trailer_scoped():
         b"%PDF-1.4\ntrailer << /Encrypt 2 0 R /Root 1 0 R >>\n%%EOF")
 
 
+def test_pdf_encrypt_probe_parses_balanced_dict():
+    """ADVICE r04: the probe must parse the balanced << >> dict — a
+    stray 'trailer' token followed (within what used to be the fixed
+    16 KB window) by an /Encrypt pattern OUTSIDE its dict must not
+    quarantine, and a trailer dict LONGER than 16 KB whose /Encrypt
+    sits at the end must still be caught."""
+    from ferenda_spark.operators.pdftext import _is_encrypted
+
+    # 'trailer' token whose dict closes before the /Encrypt bytes:
+    # old window-based probe false-positived here
+    near_miss = (b"%PDF-1.4\n1 0 obj\n<< /Length 64 >>\nstream\n"
+                 b"(trailer) << /Size 9 >> junk /Encrypt 2 0 R more\n"
+                 b"endstream\nendobj\n"
+                 b"trailer << /Root 1 0 R /Size 2 >>\nstartxref\n9\n%%EOF")
+    assert not _is_encrypted(near_miss)
+    # 'trailer' with NO dict at all, /Encrypt pattern 100 bytes later
+    assert not _is_encrypted(
+        b"stream\ntrailer data " + b"x" * 100 + b" /Encrypt 2 0 R\n"
+        b"endstream\ntrailer << /Root 1 0 R >>\nstartxref\n9\n%%EOF")
+    # >16 KB trailer dict (huge /ID padding): old probe false-negatived
+    big = (b"%PDF-1.4\ntrailer << /Root 1 0 R /ID [<"
+           + b"ab" * 9000 + b">] /Encrypt 2 0 R >>\nstartxref\n9\n%%EOF")
+    assert _is_encrypted(big)
+    # nested sub-dict inside the trailer dict stays in scope
+    assert _is_encrypted(
+        b"trailer << /Root 1 0 R /Info << /X 1 >> /Encrypt 2 0 R >>")
+    # unclosed dict after a stray token is data, not structure
+    assert not _is_encrypted(b"stream trailer << /Encrypt 2 0 R")
+
+
 def test_pdf_superseded_object_shadowing():
     """ADVICE r03: an incremental update appending '1 1 obj' must
     shadow the original '1 0 obj', not the reverse."""

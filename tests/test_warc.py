@@ -70,6 +70,59 @@ def test_framing_error_quarantines_member_keeps_others():
     assert any(not r["ok"] for r in rows2)
 
 
+def _http_response_record(url: str, head_extra: bytes,
+                          payload: bytes) -> bytes:
+    http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+            + head_extra + b"\r\n" + payload)
+    return W._record(
+        [("WARC-Type", "response"),
+         ("WARC-Date", "2026-01-01T00:00:00Z"),
+         ("WARC-Target-URI", url),
+         ("Content-Type", "application/http;msgtype=response")],
+        http)
+
+
+def test_chunked_transfer_encoding_is_decoded():
+    """ADVICE r04: crawlers store chunked responses verbatim — the
+    reader must strip the hex-size/CRLF chunk framing (RFC 9112 §7.1),
+    including chunk extensions and dropped trailers."""
+    body = (b"5;ext=1\r\nhello\r\n7\r\n, world\r\n0\r\n"
+            b"X-Trailer: drop\r\n\r\n")
+    rec = _http_response_record(
+        "https://x/chunked", b"Transfer-Encoding: chunked\r\n", body)
+    rows = S.parse_warc(gzip.compress(rec, mtime=0))
+    assert rows[0]["ok"] and bytes(rows[0]["html"]) == b"hello, world"
+    # truncated chunk framing -> quarantine row, not a raise
+    bad = _http_response_record(
+        "https://x/trunc", b"Transfer-Encoding: chunked\r\n",
+        b"ff\r\nonly-a-few-bytes")
+    rows = S.parse_warc(gzip.compress(bad, mtime=0))
+    assert rows[0]["ok"] is False and "chunk" in rows[0]["error"]
+
+
+def test_content_length_truncates_trailing_bytes():
+    """ADVICE r04: when the stored block carries bytes past the HTTP
+    Content-Length (e.g. keep-alive residue), truncate to it; an
+    unparseable Content-Length leaves the payload whole."""
+    rec = _http_response_record(
+        "https://x/cl", b"Content-Length: 4\r\n", b"abcdEXTRA")
+    rows = S.parse_warc(gzip.compress(rec, mtime=0))
+    assert rows[0]["ok"] and bytes(rows[0]["html"]) == b"abcd"
+    rec2 = _http_response_record(
+        "https://x/badcl", b"Content-Length: nan\r\n", b"abcdEXTRA")
+    rows2 = S.parse_warc(gzip.compress(rec2, mtime=0))
+    assert rows2[0]["ok"] and bytes(rows2[0]["html"]) == b"abcdEXTRA"
+
+
+def test_fixture_dir_is_absolute_and_env_overridable(tmp_path,
+                                                     monkeypatch):
+    import os
+    p = W.fixture_dir("x")
+    assert os.path.isabs(p) and p.endswith("spark-warehouse/x")
+    monkeypatch.setenv("FERENDA_FIXTURE_DIR", str(tmp_path))
+    assert W.fixture_dir("x") == str(tmp_path / "x")
+
+
 def test_fixture_timestamps_roll_days():
     """Code-review regression: i >= 1440 must roll into the next day
     (not an invalid hour-24 date)."""
