@@ -2808,6 +2808,34 @@ def q_warc_ingest(spark, sf_dir):
         F.md5("html").alias("body_md5"), "ok")
 
 
+def q_pdf_metrics(spark, sf_dir):
+    """PDF layout analysis (reference PDFAnalyzer: pdfanalyze.py:99-390
+    margins + font-style histograms -> default/h1-h3 classification)
+    as an oracle row: the synthetic 20-doc box fixture
+    (fixtures/pdfboxes.py — every field pure integer arithmetic on
+    (doc, page, box) so DuckDB regenerates the identical table) runs
+    through the REAL operators/pdfanalyze.py DataFrame analysis.
+    Hash-checks the margin modes, the ceil-binned right margins
+    (including one deliberate bin tie), the cumulative-char-count
+    header/footer threshold scans, and the (size, weight)-ranked style
+    table.  Reference-fixture parity lives in tests/test_pdfanalyze.py
+    (lipsum.xml, testPDFAnalyze.py pins).  sf-independent by design."""
+    from ferenda_spark.fixtures.pdfboxes import synth_pdf_boxes
+    from ferenda_spark.operators.pdfanalyze import metrics_df
+    pages, boxes = synth_pdf_boxes(spark)
+    m = metrics_df(boxes, pages)
+    longs = ["pagewidth", "pageheight", "leftmargin", "rightmargin",
+             "leftmargin_even", "rightmargin_even", "topmargin",
+             "bottommargin"]
+    return m.select(
+        "doc_id", *[F.col(c).cast("long").alias(c) for c in longs],
+        "default_family",
+        F.col("default_size").cast("long").alias("default_size"),
+        *[c for i in (1, 2, 3) for c in (
+            f"h{i}_family",
+            F.col(f"h{i}_size").cast("long").alias(f"h{i}_size"))])
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Multimodal decode ROUND TRIP as an ORACLE row (VERDICT r03 #3):
     the media fixture writes REAL PNG/WAV bytes whose dims/duration
@@ -3320,6 +3348,103 @@ SELECT media_id,
             THEN round((4 + media_id % 37) / 8.0, 4) END AS duration_s,
        TRUE AS decode_ok
 FROM m WHERE media_id % 3 IN (0, 1)
+"""
+
+from ferenda_spark.fixtures.pdfboxes import BOXES_CTE as _PDF_BOXES_CTE
+
+ORACLE["pdf_metrics"] = f"""
+WITH {_PDF_BOXES_CTE.strip()},
+dims AS (SELECT doc_id, MAX(width) AS pagewidth,
+                MAX(height) AS pageheight
+         FROM pages GROUP BY doc_id),
+mid AS (
+  SELECT doc_id, width / 2.0 AS midpage FROM (
+    SELECT doc_id, width,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+             ORDER BY COUNT(*) DESC, MIN(page) ASC) AS rn
+    FROM pages GROUP BY doc_id, width) t WHERE rn = 1),
+bm AS (SELECT bx.*, midpage FROM bx JOIN mid USING (doc_id)),
+lm AS (SELECT doc_id, lft AS leftmargin FROM (
+  SELECT doc_id, lft, ROW_NUMBER() OVER (PARTITION BY doc_id
+           ORDER BY COUNT(*) DESC, lft ASC) AS rn
+  FROM bm WHERE page % 2 = 1 AND lft < midpage
+  GROUP BY doc_id, lft) t WHERE rn = 1),
+lme AS (SELECT doc_id, lft AS leftmargin_even FROM (
+  SELECT doc_id, lft, ROW_NUMBER() OVER (PARTITION BY doc_id
+           ORDER BY COUNT(*) DESC, lft ASC) AS rn
+  FROM bm WHERE page % 2 = 0 AND lft < midpage
+  GROUP BY doc_id, lft) t WHERE rn = 1),
+rmc AS (SELECT doc_id, ((rgt + 9) // 10) * 10 AS bin, COUNT(*) AS cnt
+        FROM bm WHERE page % 2 = 1 AND rgt > midpage
+        GROUP BY doc_id, bin),
+rm AS (SELECT doc_id, MAX(bin) AS rightmargin FROM (
+  SELECT *, MAX(cnt) OVER (PARTITION BY doc_id) AS mc FROM rmc) t
+  WHERE cnt = mc GROUP BY doc_id),
+rmce AS (SELECT doc_id, ((rgt + 9) // 10) * 10 AS bin, COUNT(*) AS cnt
+         FROM bm WHERE page % 2 = 0 AND rgt > midpage
+         GROUP BY doc_id, bin),
+rme AS (SELECT doc_id, MAX(bin) AS rightmargin_even FROM (
+  SELECT *, MAX(cnt) OVER (PARTITION BY doc_id) AS mc FROM rmce) t
+  WHERE cnt = mc GROUP BY doc_id),
+tot AS (SELECT doc_id, SUM(nchars)::DOUBLE AS t FROM bx
+        GROUP BY doc_id),
+topcs AS (SELECT doc_id, top, SUM(SUM(nchars)) OVER (
+            PARTITION BY doc_id ORDER BY top) AS cum
+          FROM bx GROUP BY doc_id, top),
+hdr AS (SELECT doc_id, MIN(top) - 1 AS topmargin
+        FROM topcs JOIN tot USING (doc_id)
+        WHERE cum > 0.002 * t GROUP BY doc_id),
+botcs AS (SELECT b.doc_id, bottom, SUM(SUM(nchars)) OVER (
+            PARTITION BY b.doc_id ORDER BY bottom DESC) AS cum
+          FROM bx b JOIN dims USING (doc_id)
+          WHERE bottom < pageheight GROUP BY b.doc_id, bottom),
+ftr AS (SELECT doc_id, MAX(bottom) + 1 AS bottommargin
+        FROM botcs JOIN tot USING (doc_id)
+        WHERE cum > 0.002 * t GROUP BY doc_id),
+hist AS (SELECT doc_id, family, size, SUM(nchars) AS cnt,
+           CASE WHEN family LIKE '%Bold%' THEN 2
+                WHEN family LIKE '%Italic%' THEN 1 ELSE 0 END AS w
+         FROM bx GROUP BY doc_id, family, size),
+hist2 AS (SELECT *, SUM(cnt) OVER (PARTITION BY doc_id) AS total,
+            ROW_NUMBER() OVER (PARTITION BY doc_id
+              ORDER BY cnt DESC, size DESC, w DESC, family ASC) AS rn
+          FROM hist),
+defs AS (SELECT doc_id, family AS default_family,
+                size AS default_size, w AS dw
+         FROM hist2 WHERE rn = 1),
+larger AS (SELECT h.doc_id, h.family, h.size,
+             ROW_NUMBER() OVER (PARTITION BY h.doc_id
+               ORDER BY h.size DESC, h.w DESC, h.cnt DESC,
+                        h.family ASC) AS hrank
+           FROM hist2 h JOIN defs d USING (doc_id)
+           WHERE (h.size > d.default_size
+                  OR (h.size = d.default_size AND h.w > d.dw))
+             AND h.cnt > 0.005 * h.total),
+heads AS (SELECT doc_id,
+            MAX(CASE WHEN hrank = 1 THEN family END) AS h1_family,
+            MAX(CASE WHEN hrank = 1 THEN size END) AS h1_size,
+            MAX(CASE WHEN hrank = 2 THEN family END) AS h2_family,
+            MAX(CASE WHEN hrank = 2 THEN size END) AS h2_size,
+            MAX(CASE WHEN hrank = 3 THEN family END) AS h3_family,
+            MAX(CASE WHEN hrank = 3 THEN size END) AS h3_size
+          FROM larger GROUP BY doc_id)
+SELECT d.doc_id, pagewidth::BIGINT AS pagewidth,
+       pageheight::BIGINT AS pageheight,
+       leftmargin::BIGINT AS leftmargin,
+       rightmargin::BIGINT AS rightmargin,
+       leftmargin_even::BIGINT AS leftmargin_even,
+       rightmargin_even::BIGINT AS rightmargin_even,
+       topmargin::BIGINT AS topmargin,
+       bottommargin::BIGINT AS bottommargin,
+       default_family, default_size::BIGINT AS default_size,
+       h1_family, h1_size::BIGINT AS h1_size,
+       h2_family, h2_size::BIGINT AS h2_size,
+       h3_family, h3_size::BIGINT AS h3_size
+FROM dims d
+LEFT JOIN lm USING (doc_id) LEFT JOIN rm USING (doc_id)
+LEFT JOIN lme USING (doc_id) LEFT JOIN rme USING (doc_id)
+LEFT JOIN hdr USING (doc_id) LEFT JOIN ftr USING (doc_id)
+LEFT JOIN defs USING (doc_id) LEFT JOIN heads USING (doc_id)
 """
 
 ORACLE["corpus_length_quantiles"] = f"""
@@ -4538,6 +4663,9 @@ def registry_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_incremental": q_dedup_clusters_incremental,
         # per-node triangle counts (ordered-adjacency enumeration)
         "kg_triangles": q_kg_triangles,
+        # PDF layout analysis (PDFAnalyzer twin; r5) — parity gates in
+        # tests/test_pdfanalyze.py, oracle row here
+        "pdf_metrics": q_pdf_metrics,
         # BPE tokenizer training + inference (rows-only; parity-gated)
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
