@@ -11,14 +11,19 @@ vs 10^12 docs).  Each round is:
   1. adjacent-pair counts: explode each word's symbol sequence into
      (pair, word_count) and aggregate — map-side combine does the
      heavy lifting, the shuffle carries distinct pairs only;
-  2. argmax pair with a DETERMINISTIC tie-break (count desc, then
-     lexicographic pair) — one 1-row driver fetch per round, like
-     kmeans' K-row centroid fetch;
-  3. merge that single pair inside every word's symbol array — a
-     narrow Arrow-batched map over the word table (string splicing
-     over a dictionary-sized table is the sanctioned Python-kernel
-     class, cf. SemDeDup's dense-LA kernels; the corpus itself is
-     never touched again).
+  2. top-K candidates with a DETERMINISTIC tie-break (count desc,
+     then lexicographic pair) — one K-row driver fetch per round,
+     like kmeans' K-row centroid fetch;
+  3. BATCH the longest candidate prefix that provably equals the
+     sequential merge sequence (directional non-interaction +
+     brand-new merged symbols + a triple-count bound on pairs each
+     merge can CREATE — see learn_bpe), so a 32k-merge vocab takes
+     far fewer rounds than merges;
+  4. apply the batch inside every word's symbol array — a narrow
+     Arrow-batched map over the word table (string splicing over a
+     dictionary-sized table is the sanctioned Python-kernel class,
+     cf. SemDeDup's dense-LA kernels; the corpus itself is never
+     touched again).
 
 Lineage is truncated every few rounds (localCheckpoint) — the same
 iterative-algorithm discipline as dedup_clusters/kmeans.
@@ -49,59 +54,194 @@ def words_df(docs: DataFrame, text_col: str = "text") -> DataFrame:
             .groupBy("word").agg(F.count("*").alias("count")))
 
 
-def _merge_batch(pdfs: Iterator[pd.DataFrame],
-                 left: str, right: str) -> Iterator[pd.DataFrame]:
-    merged = left + right
+def _apply_merges(pdfs: Iterator[pd.DataFrame],
+                  merge_list: list[tuple[str, str]]
+                  ) -> Iterator[pd.DataFrame]:
+    """Apply a list of merges inside every symbol sequence, in rank
+    order (batched merges are symbol-disjoint, so in-order application
+    equals sequential rounds)."""
     for pdf in pdfs:
         out = []
         for syms in pdf["symbols"]:
             syms = list(syms)
-            i, res = 0, []
-            while i < len(syms):
-                if (i + 1 < len(syms) and syms[i] == left
-                        and syms[i + 1] == right):
-                    res.append(merged)
-                    i += 2
-                else:
-                    res.append(syms[i])
-                    i += 1
-            out.append(res)
+            for left, right in merge_list:
+                merged = left + right
+                i, res = 0, []
+                while i < len(syms):
+                    if (i + 1 < len(syms) and syms[i] == left
+                            and syms[i + 1] == right):
+                        res.append(merged)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                syms = res
+            out.append(syms)
         pdf = pdf.copy()
         pdf["symbols"] = out
         yield pdf
 
 
+_PAIRS_EXPR = (
+    # guard: sequence(0, -1) runs DESCENDING for a fully-merged
+    # 1-symbol word, indexing symbols[-1] (ANSI error)
+    "CASE WHEN size(symbols) < 2 THEN "
+    "array()::array<struct<l:string,r:string>> "
+    "ELSE transform(sequence(0, size(symbols) - 2), "
+    "i -> struct(symbols[i] AS l, symbols[i + 1] AS r)) END")
+
+_TRIPLES_EXPR = (
+    "CASE WHEN size(symbols) < 3 THEN "
+    "array()::array<struct<a:string,b:string,c:string>> "
+    "ELSE transform(sequence(0, size(symbols) - 3), "
+    "i -> struct(symbols[i] AS a, symbols[i + 1] AS b, "
+    "symbols[i + 2] AS c)) END")
+
+
+def _new_pair_bounds(tbl: DataFrame,
+                     batch: list[tuple[str, str, int]]) -> dict[int, int]:
+    """Per batch member j, an upper bound M_j on the count of ANY pair
+    instance its merge can CREATE: new pairs involve the merged symbol
+    m_j as left or right member, and each instance comes from a triple
+    (x, l_j, r_j) or (l_j, r_j, y) in the pre-merge table — so the max
+    per-(neighbor, side) triple-group count bounds every new pair's
+    count (pairs combining two merged symbols arise from quadruples, a
+    subset of either side's triples).  One JVM-side job; the batch
+    rides a broadcast."""
+    spark = tbl.sparkSession
+    bdf = F.broadcast(spark.createDataFrame(
+        [(j, l, r) for j, (l, r, _n) in enumerate(batch)],
+        "j int, bl string, br string"))
+    t = tbl.select("count", F.explode(F.expr(_TRIPLES_EXPR)).alias("t"))
+    lefts = (t.join(bdf, (t["t.b"] == bdf.bl) & (t["t.c"] == bdf.br))
+             .groupBy("j", F.col("t.a").alias("nb"))
+             .agg(F.sum("count").alias("c")))
+    rights = (t.join(bdf, (t["t.a"] == bdf.bl) & (t["t.b"] == bdf.br))
+              .groupBy("j", F.col("t.c").alias("nb"))
+              .agg(F.sum("count").alias("c")))
+    # left- and right-neighbor groups are distinct pair groups: union
+    # AFTER aggregation, never summed across sides; max per j
+    rows = (lefts.union(rights).groupBy("j")
+            .agg(F.max("c").alias("m")).collect())
+    return {r.j: int(r.m) for r in rows}
+
+
 def learn_bpe(words: DataFrame, n_merges: int,
-              checkpoint_every: int = 4) -> list[tuple[str, str]]:
-    """(word, count) table -> ordered merge list [(left, right), ...]."""
+              checkpoint_every: int = 4,
+              batch_k: int = 32) -> list[tuple[str, str]]:
+    """(word, count) table -> ordered merge list [(left, right), ...].
+
+    Scale shape (VERDICT r04 #1): instead of one Spark round per merge
+    (32k sequential rounds for a production vocab), each round applies
+    a PREFIX of the rank-ordered top-`batch_k` candidate pairs that is
+    provably equal to what single-merge rounds would produce:
+
+    * prefix-stop at the first candidate an earlier member could
+      interact with: merging (l_j, r_j) destroys instances only of
+      pairs with left == r_j or right == l_j, so a candidate is
+      count-invariant iff its left avoids {r_j, m_j} and its right
+      avoids {l_j, m_j} for every earlier member (same-left pairs
+      batch together);
+    * stop AFTER a member whose merged string already exists as a
+      symbol — its merge can inflate existing pairs' counts, so later
+      candidates' ranks are no longer trustworthy (the member itself
+      is still the exact argmax);
+    * every later member's count must STRICTLY exceed max M_j over
+      earlier members (see _new_pair_bounds) — no pair CREATED by an
+      earlier merge in the batch can out-rank it.
+
+    Under those three invariants every batched pair's count is
+    unchanged by the earlier merges and nothing new or excluded can
+    overtake it, so the batch is exactly the sequential merge
+    sequence.  Candidate counts drop Zipf-fast, so early rounds batch
+    near batch_k merges and the round count is typically O(hundreds)
+    for a 32k vocab instead of 32k.  Exactness gate: tests/test_bpe.py
+    parity with learn_bpe_py, including adversarial interaction
+    corpora."""
+    merges, _rounds = learn_bpe_stats(words, n_merges,
+                                      checkpoint_every, batch_k)
+    return merges
+
+
+def learn_bpe_stats(words: DataFrame, n_merges: int,
+                    checkpoint_every: int = 4, batch_k: int = 32
+                    ) -> tuple[list[tuple[str, str]], int]:
+    """learn_bpe, also returning the number of Spark rounds taken
+    (the rounds-<<-merges gate)."""
     tbl = words.select(
         "count",
         F.concat(F.split("word", ""), F.array(F.lit(END)))
         .alias("symbols")).localCheckpoint()
     merges: list[tuple[str, str]] = []
-    for r in range(n_merges):
-        # guard: sequence(0, -1) runs DESCENDING for a fully-merged
-        # 1-symbol word, indexing symbols[-1] (ANSI error)
-        pairs = F.expr(
-            "CASE WHEN size(symbols) < 2 THEN "
-            "array()::array<struct<l:string,r:string>> "
-            "ELSE transform(sequence(0, size(symbols) - 2), "
-            "i -> struct(symbols[i] AS l, symbols[i + 1] AS r)) END")
-        top = (tbl.select("count", F.explode(pairs).alias("p"))
-               .groupBy("p.l", "p.r")
-               .agg(F.sum("count").alias("n"))
-               .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
-               .limit(1).collect())
-        if not top or top[0].n < 2:
+    rounds = 0
+    while len(merges) < n_merges:
+        pair_counts = (tbl.select("count",
+                                  F.explode(F.expr(_PAIRS_EXPR)).alias("p"))
+                       .groupBy("p.l", "p.r")
+                       .agg(F.sum("count").alias("n")))
+        cands = [(r.l, r.r, int(r.n)) for r in
+                 (pair_counts.orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
+                  .limit(batch_k).collect())]
+        if not cands or cands[0][2] < 2:
             break
-        left, right = top[0].l, top[0].r
-        merges.append((left, right))
+        rounds += 1
+        # greedy non-interacting prefix (stop at first conflict — a
+        # skipped candidate would reorder the sequential sequence).
+        # Merging (l_j, r_j) destroys instances only of pairs whose
+        # LEFT member is r_j or whose RIGHT member is l_j (plus the
+        # pair itself), and creates only pairs mentioning m_j — so a
+        # later candidate's count is exactly unchanged iff its left
+        # avoids {r_j, m_j} and its right avoids {l_j, m_j} for every
+        # earlier member j.  Same-left pairs like (e,r)+(e,x) batch
+        # together fine.
+        limit = n_merges - len(merges)
+        batch: list[tuple[str, str, int]] = []
+        used_l: set[str] = set()
+        used_r: set[str] = set()
+        used_m: set[str] = set()
+        for l, r, n in cands:
+            if n < 2 or len(batch) >= limit:
+                break
+            if batch and (l in used_r or l in used_m
+                          or r in used_l or r in used_m):
+                break
+            batch.append((l, r, n))
+            used_l.add(l)
+            used_r.add(r)
+            used_m.add(l + r)
+        if len(batch) > 1:
+            # truncate after the first member whose merged symbol
+            # already exists in the table
+            ms = [l + r for l, r, _n in batch]
+            present = set(
+                row.s for row in
+                pair_counts.select(F.col("l").alias("s"))
+                .union(pair_counts.select(F.col("r").alias("s")))
+                .where(F.col("s").isin(ms)).distinct().collect())
+            for i, m in enumerate(ms):
+                if m in present:
+                    batch = batch[:i + 1]
+                    break
+        if len(batch) > 1:
+            # creation guard: count(p_i) must strictly beat every
+            # earlier member's new-pair bound
+            bounds = _new_pair_bounds(tbl, batch[:-1])
+            keep, cummax = 1, bounds.get(0, 0)
+            for i in range(1, len(batch)):
+                if batch[i][2] > cummax:
+                    keep = i + 1
+                    cummax = max(cummax, bounds.get(i, 0))
+                else:
+                    break
+            batch = batch[:keep]
+        step = [(l, r) for l, r, _n in batch]
+        merges.extend(step)
         tbl = tbl.mapInPandas(
-            lambda it, _l=left, _r=right: _merge_batch(it, _l, _r),
+            lambda it, _m=step: _apply_merges(it, _m),
             "count long, symbols array<string>")
-        if (r + 1) % checkpoint_every == 0:
+        if rounds % checkpoint_every == 0:
             tbl = tbl.localCheckpoint()
-    return merges
+    return merges, rounds
 
 
 def merges_df(spark, merges: list[tuple[str, str]]) -> DataFrame:
