@@ -13,6 +13,7 @@ Reference points (all /root/reference/ferenda/):
 - uri_leaf             util.py:625-640
 - base27encode/decode  util.py:839-868
 - year/firstletter/... facet.py:128-280
+- sv_collate_key       documentrepository.py:2686-2688 (strxfrm twin)
 """
 
 from ferenda_spark.functions.scalars import (  # noqa: F401
@@ -26,6 +27,8 @@ from ferenda_spark.functions.scalars import (  # noqa: F401
     normalize_space_py,
     slugify,
     slugify_py,
+    sv_collate_key,
+    sv_collate_key_py,
     title_sortkey,
     title_sortkey_py,
     ucfirst,

@@ -223,3 +223,44 @@ def firstletter(col: Column) -> Column:
 
 def _nfc(s: str) -> str:
     return unicodedata.normalize("NFC", s)
+
+
+# ---------------------------------------------------------------------------
+# Swedish collation key (documentrepository.py:2686-2688 sorts TOC
+# selector values with locale.strxfrm under collate_locale, which the
+# reference pins to sv_SE — swedishlegalsource.py:116-121).  This is a
+# deterministic strxfrm-equivalent for that locale: primary weights
+# order a..z with v = w folded (glibc sv_SE keeps the pre-2006
+# SS collation where W is a variant of V), then å < ä < ö after z;
+# common foreign letters fold to their Swedish primary (é->e, ü->y,
+# æ->ä, ø->ö); everything else (digits, punctuation) keeps its
+# codepoint, sorting before letters like strxfrm does for ASCII.
+# Ties at the primary level (v/w, e/é, ...) break on the original
+# string, appended after a '|' separator.  Pure translate() — one
+# codegen expression, and the DuckDB oracle twin is the same
+# translate() call (SV_COLLATE_SQL).
+
+_SV_SRC = "abcdefghijklmnopqrstuvwxyzåäö" + "éèêëáàâüæø"
+_SV_DST = (
+    "ABCDEFGHIJKLMNOPQRSTU"  # a..u
+    "V" "V"                  # v and w share the primary weight
+    "WXY"                    # x y z
+    "Z[\\"                   # å ä ö (after z in ASCII order)
+    "EEEE" "AAA"             # é è ê ë / á à â fold to e / a
+    "X"                      # ü sorts as y
+    "[\\")                   # æ -> ä, ø -> ö
+assert len(_SV_SRC) == len(_SV_DST)
+
+
+def sv_collate_key(col: Column) -> Column:
+    return F.concat(F.translate(F.lower(col), _SV_SRC, _SV_DST),
+                    F.lit("|"), col)
+
+
+def sv_collate_key_py(s: str) -> str:
+    table = str.maketrans(_SV_SRC, _SV_DST)
+    return s.lower().translate(table) + "|" + s
+
+
+SV_COLLATE_SQL = ("translate(lower({col}), '" + _SV_SRC + "', '"
+                  + _SV_DST + "') || '|' || {col}")

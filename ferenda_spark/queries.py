@@ -169,13 +169,23 @@ def q_kg_doc_triple_counts(spark, sf_dir):
 
 
 def q_facet_toc_pagesets(spark, sf_dir):
-    """A3 pageset derivation: distinct first-letter selector values
-    (toc_pagesets, documentrepository.py:2617-2696; firstletter
-    facet.py:210-230)."""
+    """A3 pageset derivation with LOCALE-COLLATED page order (VERDICT
+    r04 #4): distinct first-letter selector values ranked by the
+    deterministic sv collation key (å/ä/ö after z, v=w at the primary
+    level — functions/scalars.py sv_collate_key; the reference sorts
+    with locale.strxfrm under collate_locale=sv_SE,
+    documentrepository.py:2686-2688, swedishlegalsource.py:116-121).
+    collate_rank puts the ordering itself under the value hash."""
+    from ferenda_spark.functions.scalars import sv_collate_key
     d = _read(spark, sf_dir, "documents")
-    return (d.select(F.lower(F.substring(F.trim("text"), 1, 1))
-                     .alias("firstletter"))
-            .where(F.col("firstletter") != "").distinct())
+    letters = (d.select(F.lower(F.substring(F.trim("text"), 1, 1))
+                        .alias("firstletter"))
+               .where(F.col("firstletter") != "").distinct())
+    # the distinct letter set is alphabet-sized: a single global
+    # window over <100 rows is the right plan at any corpus scale
+    w = Window.orderBy(sv_collate_key(F.col("firstletter")))
+    return letters.withColumn("collate_rank",
+                              F.row_number().over(w).cast("long"))
 
 
 def q_facet_toc_pages_topn(spark, sf_dir):
@@ -2933,9 +2943,18 @@ WITH {_LIFT_CTE.strip()}
 SELECT subj, count(*)::BIGINT AS n FROM lift GROUP BY subj
 """
 
-ORACLE["facet_toc_pagesets"] = """
-SELECT DISTINCT lower(substr(trim(text), 1, 1)) AS firstletter
-FROM documents WHERE lower(substr(trim(text), 1, 1)) <> ''
+from ferenda_spark.functions.scalars import SV_COLLATE_SQL as _SV_SQL
+
+ORACLE["facet_toc_pagesets"] = f"""
+WITH letters AS (
+  SELECT DISTINCT lower(substr(trim(text), 1, 1)) AS firstletter
+  FROM documents WHERE lower(substr(trim(text), 1, 1)) <> ''
+)
+SELECT firstletter,
+       row_number() OVER (
+         ORDER BY {_SV_SQL.format(col='firstletter')})::BIGINT
+         AS collate_rank
+FROM letters
 """
 
 ORACLE["facet_toc_pages_topn"] = """

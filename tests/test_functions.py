@@ -115,3 +115,29 @@ def test_year_of_and_firstletter(spark):
 def test_base27():
     assert [FN.base27_encode_py(n) for n in (1, 2, 26, 27, 28)] == \
         ["a", "b", "z", "aa", "ab"]
+
+
+def test_sv_collate_key_pins_swedish_order(spark, sdf):
+    """VERDICT r04 #4: å < ä < ö AFTER z (never interfiled with a/o),
+    v and w fold at the primary level, foreign letters fold to their
+    Swedish primaries — and the Column expression equals the twin."""
+    _col_vs_py(sdf, FN.sv_collate_key, FN.sv_collate_key_py)
+    words = ["öl", "ärlig", "åka", "zebra", "var", "wax", "vilt",
+             "école", "eko", "über", "ystad", "apa", "Örn"]
+    got = sorted(words, key=FN.sv_collate_key_py)
+    # note the strxfrm-true interfiling: "wax" < "vilt" because v=w at
+    # the primary level and a < i at position 2
+    assert got == ["apa", "école", "eko", "var", "wax", "vilt",
+                   "über", "ystad", "zebra", "åka", "ärlig", "öl",
+                   "Örn"]
+    # å/ä/ö strictly after z, in åäö order
+    assert [FN.sv_collate_key_py(c)[0] for c in "zåäö"] == \
+        ["Y", "Z", "[", "\\"]
+    # v/w share the primary weight; the raw string breaks the tie
+    assert FN.sv_collate_key_py("vilt") < FN.sv_collate_key_py("wilt")
+    assert FN.sv_collate_key_py("vilt")[0] == \
+        FN.sv_collate_key_py("wilt")[0] == "V"
+    # Spark ordering agrees with the python sort
+    df = spark.createDataFrame([(w,) for w in words], "s string")
+    rows = df.orderBy(FN.sv_collate_key(F.col("s"))).collect()
+    assert [r.s for r in rows] == got
