@@ -123,13 +123,23 @@ def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 if kind == "pdf":
                     fmt, chunks = "pdf", pdf_text_pages(data)
                 else:
-                    fmt = detect_word_format(data)
-                    if fmt == "docx":
-                        chunks = docx_paragraphs(data)
-                    elif fmt == "doc":
-                        chunks = doc_paragraphs(data)
+                    from ferenda_spark.sources.mediawiki import (
+                        is_mediawiki_xml, page_row)
+                    if is_mediawiki_xml(data):
+                        # MediaWiki export XML (sources/mediawiki.py;
+                        # reference sources/general/wiki.py) — one
+                        # chunk per decoded block paragraph
+                        fmt = "wiki"
+                        chunks = page_row(data)["text"].split("\n")
+                        chunks = [c for c in chunks if c]
                     else:
-                        raise ValueError("not a Word document")
+                        fmt = detect_word_format(data)
+                        if fmt == "docx":
+                            chunks = docx_paragraphs(data)
+                        elif fmt == "doc":
+                            chunks = doc_paragraphs(data)
+                        else:
+                            raise ValueError("not a Word document")
                 for i, text in enumerate(chunks):
                     rows.append({"url": url, "format": fmt, "seq": i,
                                  "text": text, "ok": True, "error": None})

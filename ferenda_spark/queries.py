@@ -2818,6 +2818,38 @@ def q_warc_ingest(spark, sf_dir):
         F.md5("html").alias("body_md5"), "ok")
 
 
+def q_keyword_hub(spark, sf_dir):
+    """Keyword/concept hub aggregation (reference
+    sources/general/keyword.py:45-137 download + :212-221 parse +
+    :264+ annotation): every dcterms:subject term becomes a hub
+    document (a skos:Concept titled by the term) that automatically
+    lists the documents referring to it.  Subject terms here are the
+    documents' long tokens (len >= 6) — the deterministic stand-in
+    for extracted dcterms:subject triples; the reference's term
+    sanity filter (< 100 chars, no leading '.'/'/'/':',
+    keyword.py:134-137) and the canonical_uri space->underscore rule
+    (keyword.py:91-93) apply verbatim.  Scale shape: one explode +
+    one groupBy term — a single shuffle keyed on the term."""
+    d = _read_wide(spark, sf_dir, "documents")
+    pairs = (d.select(
+        F.concat(F.lit(f"{BASE}res/"), "source", F.lit("/"),
+                 F.col("doc_id").cast("string")).alias("doc_uri"),
+        F.explode(F.array_distinct(F.expr(
+            f"filter({_TOKS}, t -> length(t) >= 6)"))).alias("term"))
+        .where((F.length("term") < 100)
+               & ~F.substring("term", 1, 1).isin(".", "/", ":"))
+        .distinct())
+    return (pairs.groupBy("term")
+            .agg(F.count("*").alias("n"),
+                 F.slice(F.sort_array(F.collect_list("doc_uri")), 1, 5)
+                 .alias("ref"))
+            .select(F.concat(F.lit(f"{BASE}concept/"),
+                             F.regexp_replace("term", " ", "_"))
+                    .alias("uri"),
+                    "term", F.col("n").cast("long").alias("n_docs"),
+                    F.concat_ws("|", "ref").alias("referring")))
+
+
 def q_pdf_metrics(spark, sf_dir):
     """PDF layout analysis (reference PDFAnalyzer: pdfanalyze.py:99-390
     margins + font-style histograms -> default/h1-h3 classification)
@@ -3367,6 +3399,20 @@ SELECT media_id,
             THEN round((4 + media_id % 37) / 8.0, 4) END AS duration_s,
        TRUE AS decode_ok
 FROM m WHERE media_id % 3 IN (0, 1)
+"""
+
+ORACLE["keyword_hub"] = f"""
+WITH pairs AS (
+  SELECT DISTINCT '{BASE}res/' || source || '/' || doc_id::VARCHAR
+           AS doc_uri, t.term
+  FROM documents, unnest({_TOKS_SQL}) AS t(term)
+  WHERE length(t.term) >= 6 AND length(t.term) < 100
+    AND substr(t.term, 1, 1) NOT IN ('.', '/', ':')
+)
+SELECT '{BASE}concept/' || replace(term, ' ', '_') AS uri, term,
+       count(*)::BIGINT AS n_docs,
+       array_to_string(list_sort(list(doc_uri))[1:5], '|') AS referring
+FROM pairs GROUP BY term
 """
 
 from ferenda_spark.fixtures.pdfboxes import BOXES_CTE as _PDF_BOXES_CTE
@@ -4685,6 +4731,8 @@ def registry_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # PDF layout analysis (PDFAnalyzer twin; r5) — parity gates in
         # tests/test_pdfanalyze.py, oracle row here
         "pdf_metrics": q_pdf_metrics,
+        # keyword/concept hub aggregation (sources/general/keyword.py)
+        "keyword_hub": q_keyword_hub,
         # BPE tokenizer training + inference (rows-only; parity-gated)
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
