@@ -4635,11 +4635,23 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "news_feeds_topn": q_news_feeds_topn,
         "status_report": q_status_report,
         "dedup_exact": q_dedup_exact,
-        "dedup_minhash_signature": q_dedup_minhash_signature,
         "dedup_lsh_pairs_prod": q_dedup_lsh_pairs_prod,
-        "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_band_pairs_prod": q_dedup_simhash_band_pairs_prod,
         "ann_cosine_topk": q_ann_cosine_topk,
+        # round-5 rotation (3rd cycle, ADVICE r02 protocol): the new
+        # r5 operators (pdf_metrics, keyword_hub, the collated
+        # pagesets stay in place) plus VERDICT r04 #6's named
+        # candidates move IN for external verification; stable
+        # veterans (dedup_minhash_signature, dedup_simhash,
+        # citations_eulaw, citations_ecj, uri_roundtrip,
+        # composite_first_success, header_kv_parse) rotate to extras
+        "pdf_metrics": q_pdf_metrics,
+        "keyword_hub": q_keyword_hub,
+        "dedup_clusters_incremental": q_dedup_clusters_incremental,
+        "split_from_labels": q_split_from_labels,
+        "vocab_topk_coverage": q_vocab_topk_coverage,
+        "corpus_length_quantiles": q_corpus_length_quantiles,
+        "warc_ingest": q_warc_ingest,
         # round-4 rotation (ADVICE r02 protocol, VERDICT r03 #4):
         # scrub chain / KEEP / tokenize / lm_bits / leakage-safe split
         # moved IN for external verification; stable veterans
@@ -4658,8 +4670,6 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dependency_join": q_dependency_join,
         "skeleton_anti_join": q_skeleton_anti_join,
         "citations_rfc_regex": q_citations_rfc_regex,
-        "citations_eulaw": q_citations_eulaw,
-        "citations_ecj": q_citations_ecj,
         "facet_toc_pagesets": q_facet_toc_pagesets,
         "facet_title_sortkey": q_facet_title_sortkey,
         "fulltext_search_paging": q_fulltext_search_paging,
@@ -4673,10 +4683,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "faceted_data_dedup": q_faceted_data_dedup,
         "incremental_pending": q_incremental_pending,
-        "header_kv_parse": q_header_kv_parse,
         "validation_quarantine": q_validation_quarantine,
-        "uri_roundtrip": q_uri_roundtrip,
-        "composite_first_success": q_composite_first_success,
         "sameas_canonical": q_sameas_canonical,
         "news_atom_pages": q_news_atom_pages,
         "streaming_hourly_windows": q_streaming_hourly_windows,
@@ -4706,6 +4713,16 @@ def registry_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         "dedup_clusters": q_dedup_clusters,
+        # round-5 rotation: stable veterans out of the driver
+        # window (all oracle-gated here at sf0.001 by
+        # tests/test_registry.py)
+        "dedup_minhash_signature": q_dedup_minhash_signature,
+        "dedup_simhash": q_dedup_simhash,
+        "citations_eulaw": q_citations_eulaw,
+        "citations_ecj": q_citations_ecj,
+        "uri_roundtrip": q_uri_roundtrip,
+        "composite_first_success": q_composite_first_success,
+        "header_kv_parse": q_header_kv_parse,
         # round-3 rotation (ADVICE r02): the production configs and the
         # shards chain moved INTO the driver window; their demo twins
         # keep local verification here
@@ -4721,18 +4738,13 @@ def registry_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_pretokens": q_text_bpe_pretokens,
         "events_asof_join": q_events_asof_join,
         # deployment-shape leakage-safe split over materialized labels
-        "split_from_labels": q_split_from_labels,
         # WARC container ingest round trip (sources/warc.py)
-        "warc_ingest": q_warc_ingest,
         # incremental cluster-label maintenance (== full re-cluster)
-        "dedup_clusters_incremental": q_dedup_clusters_incremental,
         # per-node triangle counts (ordered-adjacency enumeration)
         "kg_triangles": q_kg_triangles,
         # PDF layout analysis (PDFAnalyzer twin; r5) — parity gates in
         # tests/test_pdfanalyze.py, oracle row here
-        "pdf_metrics": q_pdf_metrics,
         # keyword/concept hub aggregation (sources/general/keyword.py)
-        "keyword_hub": q_keyword_hub,
         # BPE tokenizer training + inference (rows-only; parity-gated)
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
@@ -4740,7 +4752,6 @@ def registry_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk_prod": q_ann_ivf_topk_prod,
         "multimodal_features": q_multimodal_features,
         "multimodal_frame_sample": q_multimodal_frame_sample,
-        "corpus_length_quantiles": q_corpus_length_quantiles,
         "multimodal_resize": q_multimodal_resize,
         "dedup_lsh_incremental": q_dedup_lsh_incremental,
         "seq_pack_assign": q_seq_pack_assign,
@@ -4752,7 +4763,6 @@ def registry_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "dedup_boilerplate_lines": q_dedup_boilerplate_lines,
         "decontaminate_ngrams": q_decontaminate_ngrams,
-        "vocab_topk_coverage": q_vocab_topk_coverage,
         "text_repetition_signals": q_text_repetition_signals,
         "dedup_semantic": q_dedup_semantic,
         "dedup_substring_spans": q_dedup_substring_spans,
