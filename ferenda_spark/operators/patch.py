@@ -12,6 +12,7 @@ actually have a patch.  Unpatched rows pass through untouched.
 
 from __future__ import annotations
 
+import difflib
 import re
 from collections.abc import Iterator
 
@@ -71,6 +72,60 @@ def apply_unified_diff(text: str, diff: str) -> str:
             i += 1
     out.extend(src[pos:])
     return "\n".join(out)
+
+
+def make_unified_diff(original: str, corrected: str,
+                      description: str = "") -> str | None:
+    """Patch CREATION (mkpatch): the inverse of ``apply_unified_diff``.
+
+    Reference ``Devel.mkpatch`` (/root/reference/ferenda/devel.py:197-297)
+    stashes the hand-edited file, regenerates the pristine one, and
+    diffs pristine -> edited with ``difflib.unified_diff``; a
+    single-line description is spliced onto the FIRST hunk's ``@@``
+    control line (devel.py:276-281).  Same observable contract here:
+    ``apply_unified_diff(original, make_unified_diff(original, c)) == c``.
+
+    Returns None when the texts are identical (the reference refuses to
+    write an empty patch — devel.py:296 "patch would be empty")."""
+    if original == corrected:
+        return None
+    lines = list(difflib.unified_diff(
+        original.split("\n"), corrected.split("\n"),
+        fromfile="a", tofile="b", lineterm=""))
+    if description and "\n" not in description:
+        for i, ln in enumerate(lines):
+            if ln.startswith("@@") and ln.endswith("@@"):
+                lines[i] = ln + " " + description
+                break
+    return "\n".join(lines)
+
+
+def make_patches(original: DataFrame, corrected: DataFrame,
+                 key: str = "url", col: str = "text",
+                 description: str = "") -> DataFrame:
+    """(key, col) x (key, col) -> (key, diff) unified-diff patch table.
+
+    Scale shape: corrected documents are hand-edited fixes, so the
+    corrected side is tiny => broadcast INNER join against the full
+    corpus (only rows with a correction ever reach Python), then an
+    Arrow-batched per-row difflib.  No shuffle of the big side.
+    Identical texts yield no row (reference skips empty patches)."""
+    pairs = original.select(key, F.col(col).alias("_orig")).join(
+        F.broadcast(corrected.select(key, F.col(col).alias("_corr"))), key)
+
+    key_type = dict(original.dtypes)[key]
+    schema = f"{key} {key_type}, diff string"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            diffs = [make_unified_diff(o if o is not None else "",
+                                       c if c is not None else "",
+                                       description)
+                     for o, c in zip(pdf["_orig"], pdf["_corr"])]
+            out = pd.DataFrame({key: pdf[key], "diff": diffs})
+            yield out[out["diff"].notna()]
+
+    return pairs.mapInPandas(run, schema)
 
 
 PATCHED_COLS = ["url", "warc_ts", "html", "text", "lang",

@@ -2850,6 +2850,120 @@ def q_keyword_hub(spark, sf_dir):
                     F.concat_ws("|", "ref").alias("referring")))
 
 
+def _kg_graph(spark, sf_dir):
+    """Lifted doc triples + a deterministic part tree (#S1 isPartOf doc,
+    #S1.1 isPartOf #S1) + cross-document references (every 5th doc
+    references #S1 of the doc 7 ids earlier) — the graph shape the
+    reference's annotations.rq template queries (part nesting +
+    dcterms:references inbound links)."""
+    t = _lift(spark, sf_dir)
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit(f"{BASE}res/"), "source", F.lit("/"),
+                 F.col("doc_id").cast("string")).alias("subj"))
+    p1 = F.concat("subj", F.lit("#S1"))
+    parts = d.select(p1.alias("subj"),
+                     F.lit(f"{DCT}isPartOf").alias("pred"),
+                     F.col("subj").alias("obj")).unionByName(
+        d.select(F.concat("subj", F.lit("#S1.1")).alias("subj"),
+                 F.lit(f"{DCT}isPartOf").alias("pred"),
+                 p1.alias("obj")))
+    a, b = d.alias("a"), d.alias("b")
+    refs = (a.join(b, F.col("b.doc_id") == F.col("a.doc_id") - 7)
+            .where(F.col("a.doc_id") % 5 == 0)
+            .select(F.col("a.subj").alias("subj"),
+                    F.lit(f"{DCT}references").alias("pred"),
+                    F.concat("b.subj", F.lit("#S1")).alias("obj")))
+    return t.unionByName(parts).unionByName(refs)
+
+
+def q_sparql_construct_annotations(spark, sf_dir):
+    """SPARQL CONSTRUCT through the BGP compiler (operators/sparql.py):
+    the reference's OWN annotations.rq template shape
+    (/root/reference/ferenda/res/sparql/annotations.rq — isPartOf*
+    closure UNION inbound dcterms:references, CONSTRUCT with an
+    isReferencedBy decoration), generalized from the reference's
+    one-SPARQL-query-per-document render-time call
+    (documentrepository.py:2460-2488) to ALL documents in ONE join
+    plan: the per-doc constant uri becomes ?root constrained to typed
+    documents.  Scale shape: each triple pattern is a pred-filtered
+    scan (partition-prunable on pred_bucket), patterns join in
+    selectivity order, the isPartOf* closure is depth-bounded
+    self-joins of the tiny part-edge subset — never a driver loop."""
+    from ferenda_spark.operators.sparql import sparql_query
+    g = _kg_graph(spark, sf_dir)
+    rq = f"""
+    PREFIX dct: <{DCT}>
+    CONSTRUCT {{ ?part dct:isReferencedBy ?s . ?s ?p ?o . }}
+    WHERE {{
+      ?s ?p ?o .
+      {{ ?root a <{FOAF_DOC}> . ?s dct:isPartOf* ?root . }}
+      UNION
+      {{ ?root a <{FOAF_DOC}> . ?part dct:isPartOf* ?root .
+         ?s dct:references ?part . }}
+    }}"""
+    return sparql_query(g, rq)
+
+
+def q_sparql_select(spark, sf_dir):
+    """SPARQL SELECT surface through the BGP compiler: typed-document
+    join + OPTIONAL (left join) + regex FILTER over the lifted triple
+    table — the query form the reference's repos issue for metadata
+    lookups.  Columns are the SPARQL variables."""
+    from ferenda_spark.operators.sparql import sparql_query
+    t = _lift(spark, sf_dir)
+    rq = f"""
+    PREFIX dct: <{DCT}>
+    SELECT ?doc ?id ?lang WHERE {{
+      ?doc a <{FOAF_DOC}> .
+      ?doc dct:identifier ?id .
+      OPTIONAL {{ ?doc dct:language ?lang }}
+      FILTER (regex(?id, "0$"))
+    }}"""
+    return sparql_query(t, rq)
+
+
+def q_mkpatch_roundtrip(spark, sf_dir):
+    """Patch CREATION round trip (reference Devel.mkpatch,
+    devel.py:197-297): 'hand-edited' corrected docs (deterministic
+    stand-in: every 'the' substring uppercased, on doc_id % 7 == 0) are
+    diffed against the pristine originals with
+    operators/patch.make_patches (difflib unified diff, description
+    spliced onto the first hunk line per devel.py:276-281), then
+    APPLIED back with the P13 applier — md5(applied) must equal the
+    oracle's direct replace().  Docs the edit doesn't touch prove the
+    empty-patch skip (the reference refuses to write empty patches,
+    devel.py:296).  Scale shape: the corrected side is tiny by
+    construction (hand-maintained fixes) => broadcast inner join in
+    make_patches, no shuffle of the corpus; md5 stays JVM-side after
+    the Arrow batch."""
+    import pandas as pd
+
+    from ferenda_spark.operators.patch import (apply_unified_diff,
+                                               make_patches)
+    d = (_read_wide(spark, sf_dir, "documents")
+         .where(F.col("doc_id") % 7 == 0).select("doc_id", "text"))
+    corrected = d.select(
+        "doc_id", F.expr("replace(text, 'the', 'THE')").alias("text"))
+    patches = make_patches(d, corrected, key="doc_id",
+                           description="uppercase-the")
+    joined = d.join(patches, "doc_id", "left")
+
+    def run(batches):
+        for pdf in batches:
+            has = [diff is not None and not pd.isna(diff)
+                   for diff in pdf["diff"]]
+            texts = [apply_unified_diff(t, diff) if h else t
+                     for t, diff, h in zip(pdf["text"], pdf["diff"], has)]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "patched_text": texts, "patched": has})
+
+    return (joined.mapInPandas(
+        run, "doc_id long, patched_text string, patched boolean")
+        .select("doc_id", F.md5("patched_text").alias("patched_md5"),
+                "patched"))
+
+
 def q_pdf_metrics(spark, sf_dir):
     """PDF layout analysis (reference PDFAnalyzer: pdfanalyze.py:99-390
     margins + font-style histograms -> default/h1-h3 classification)
@@ -3413,6 +3527,71 @@ SELECT '{BASE}concept/' || replace(term, ' ', '_') AS uri, term,
        count(*)::BIGINT AS n_docs,
        array_to_string(list_sort(list(doc_uri))[1:5], '|') AS referring
 FROM pairs GROUP BY term
+"""
+
+ORACLE["sparql_select"] = f"""
+WITH {_LIFT_CTE.strip()},
+docs AS (SELECT subj AS doc FROM lift
+         WHERE pred = '{RDF_TYPE}' AND obj = '{FOAF_DOC}'),
+ids AS (SELECT subj AS doc, obj AS id FROM lift
+        WHERE pred = '{DCT}identifier'),
+langs AS (SELECT subj AS doc, obj AS lang FROM lift
+          WHERE pred = '{DCT}language')
+SELECT d.doc, i.id, l.lang
+FROM docs d JOIN ids i USING (doc) LEFT JOIN langs l USING (doc)
+WHERE regexp_matches(i.id, '0$')
+"""
+
+ORACLE["sparql_construct_annotations"] = f"""
+WITH {_LIFT_CTE.strip()},
+docs AS (SELECT '{BASE}res/' || source || '/' || doc_id::VARCHAR AS subj,
+                doc_id FROM documents),
+parts AS (
+  SELECT subj || '#S1' AS part, subj AS parent FROM docs
+  UNION ALL
+  SELECT subj || '#S1.1', subj || '#S1' FROM docs
+),
+refs AS (
+  SELECT a.subj AS s, b.subj || '#S1' AS part
+  FROM docs a JOIN docs b ON b.doc_id = a.doc_id - 7
+  WHERE a.doc_id % 5 = 0
+),
+g AS (
+  SELECT subj, pred, obj FROM lift
+  UNION ALL SELECT part, '{DCT}isPartOf', parent FROM parts
+  UNION ALL SELECT s, '{DCT}references', part FROM refs
+),
+-- isPartOf* pairs: zero-length over the p-subgraph node set + 1..3 hops
+closure AS (
+  SELECT n AS s, n AS root FROM (
+    SELECT part AS n FROM parts UNION SELECT parent FROM parts)
+  UNION SELECT part, parent FROM parts
+  UNION SELECT p1.part, p2.parent FROM parts p1
+        JOIN parts p2 ON p1.parent = p2.part
+  UNION SELECT p1.part, p3.parent FROM parts p1
+        JOIN parts p2 ON p1.parent = p2.part
+        JOIN parts p3 ON p2.parent = p3.part
+),
+roots AS (SELECT subj AS root FROM lift
+          WHERE pred = '{RDF_TYPE}' AND obj = '{FOAF_DOC}'),
+in_closure AS (SELECT DISTINCT c.s FROM closure c
+               JOIN roots r ON c.root = r.root),
+ref_s AS (SELECT DISTINCT rf.s, rf.part FROM refs rf
+          JOIN closure c ON c.s = rf.part
+          JOIN roots r ON c.root = r.root),
+sel AS (SELECT s FROM in_closure UNION SELECT s FROM ref_s)
+SELECT DISTINCT subj, pred, obj FROM (
+  SELECT g.subj, g.pred, g.obj FROM g JOIN sel ON g.subj = sel.s
+  UNION ALL
+  SELECT rs.part, '{DCT}isReferencedBy', rs.s FROM ref_s rs
+)
+"""
+
+ORACLE["mkpatch_roundtrip"] = """
+SELECT doc_id,
+       md5(replace(text, 'the', 'THE')) AS patched_md5,
+       coalesce(text <> replace(text, 'the', 'THE'), FALSE) AS patched
+FROM documents WHERE doc_id % 7 = 0
 """
 
 from ferenda_spark.fixtures.pdfboxes import BOXES_CTE as _PDF_BOXES_CTE
@@ -4673,7 +4852,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_toc_pagesets": q_facet_toc_pagesets,
         "facet_title_sortkey": q_facet_title_sortkey,
         "fulltext_search_paging": q_fulltext_search_paging,
-        "kg_set_diff": q_kg_set_diff,
+        # r5: SPARQL BGP compiler flagship (annotations.rq shape, all
+        # docs in one plan); kg_set_diff -> extras (twin already there)
+        "sparql_construct_annotations": q_sparql_construct_annotations,
         "dependency_closure_2hop": q_dependency_closure_2hop,
         "ann_ivf_topk": q_ann_ivf_topk,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -4730,6 +4911,13 @@ def registry_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_band_pairs": q_dedup_simhash_band_pairs,
         "text_token_count": q_text_token_count,
         "events_props_extract": q_events_props_extract,
+        # round-5: patch CREATION (mkpatch) -> apply round trip
+        "mkpatch_roundtrip": q_mkpatch_roundtrip,
+        # round-5: SPARQL SELECT surface (construct is in the window)
+        "sparql_select": q_sparql_select,
+        # round-5 window swap: stable set-ops veteran out (its
+        # intersect twin was already here)
+        "kg_set_diff": q_kg_set_diff,
         # round-4 rotation: stable veterans out of the driver window
         # (all oracle-gated here at sf0.001 by tests/test_registry.py)
         "text_lang_id": q_text_lang_id,
