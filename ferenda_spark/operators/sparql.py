@@ -15,6 +15,9 @@ plus the common SELECT forms):
 * ``PREFIX`` declarations, ``a`` for rdf:type
 * ``SELECT ?v ... WHERE { ... }`` (incl. ``*``), ``DISTINCT``,
   ``ORDER BY``, ``LIMIT``
+* aggregates ``(COUNT([DISTINCT] ?v|*) AS ?n)`` / SUM / MIN / MAX /
+  AVG with ``GROUP BY`` -> groupBy().agg() (map-side partial
+  aggregation for free)
 * ``CONSTRUCT { template } WHERE { ... }`` -> a (subj, pred, obj)
   DataFrame (one union branch per template pattern)
 * basic graph patterns joined on shared variables
@@ -106,6 +109,14 @@ class Group:
 
 
 @dataclass
+class Agg:
+    func: str        # count | sum | min | max | avg
+    var: str | None  # None = COUNT(*)
+    alias: str
+    distinct: bool = False
+
+
+@dataclass
 class Query:
     form: str                 # select | construct
     select_vars: list[str]    # [] means *
@@ -114,6 +125,8 @@ class Query:
     where: Group
     order_by: list[tuple[str, bool]]  # (var, ascending)
     limit: int | None
+    aggs: list[Agg] = field(default_factory=list)
+    group_by: list[str] = field(default_factory=list)
 
 
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
@@ -169,6 +182,7 @@ class _Parser:
         if form not in ("SELECT", "CONSTRUCT"):
             raise ValueError(f"sparql: unsupported form {form}")
         select_vars: list[str] = []
+        aggs: list[Agg] = []
         distinct = False
         template: list[Pattern] = []
         if form == "SELECT":
@@ -176,9 +190,11 @@ class _Parser:
                 self.next()
                 distinct = True
             while self.peek() and (self.peek().startswith("?")
-                                   or self.peek() == "*"):
+                                   or self.peek() in ("*", "(")):
                 t = self.next()
-                if t != "*":
+                if t == "(":          # (FUNC([DISTINCT] ?v|*) AS ?alias)
+                    aggs.append(self._agg())
+                elif t != "*":
                     select_vars.append(t[1:])
             self.expect("WHERE")
         else:
@@ -190,10 +206,15 @@ class _Parser:
         where = self.group()
         self.expect("}")
         order_by: list[tuple[str, bool]] = []
+        group_by: list[str] = []
         limit = None
         while self.peek():
             t = self.next().upper()
-            if t == "ORDER":
+            if t == "GROUP":
+                self.expect("BY")
+                while self.peek() and self.peek().startswith("?"):
+                    group_by.append(self.next()[1:])
+            elif t == "ORDER":
                 self.expect("BY")
                 while self.peek() and (self.peek().startswith("?")
                                        or self.peek().upper() in ("ASC",
@@ -212,7 +233,28 @@ class _Parser:
             else:
                 raise ValueError(f"sparql: unexpected trailing {t!r}")
         return Query(form.lower(), select_vars, distinct, template,
-                     where, order_by, limit)
+                     where, order_by, limit, aggs, group_by)
+
+    def _agg(self) -> Agg:
+        func = self.next().lower()
+        if func not in ("count", "sum", "min", "max", "avg"):
+            raise ValueError(f"sparql: unsupported aggregate {func!r}")
+        self.expect("(")
+        adist = False
+        if self.peek() and self.peek().upper() == "DISTINCT":
+            self.next()
+            adist = True
+        v = self.next()
+        var = None if v == "*" else v[1:]
+        self.expect(")")
+        as_kw = self.next()
+        if as_kw.upper() != "AS":
+            raise ValueError(f"sparql: expected AS, got {as_kw!r}")
+        alias = self.next()
+        if not alias.startswith("?"):
+            raise ValueError("sparql: aggregate alias must be a ?var")
+        self.expect(")")
+        return Agg(func, var, alias[1:], adist)
 
     def pattern_list(self) -> list[Pattern]:
         pats: list[Pattern] = []
@@ -494,9 +536,33 @@ def sparql_query(triples: DataFrame, query: str,
     if sol is None:
         raise ValueError("sparql: empty WHERE group")
     if ast.form == "select":
-        out = sol.select(*(ast.select_vars or sorted(sol.columns)))
-        if ast.distinct:
-            out = out.dropDuplicates()
+        if ast.aggs:
+            exprs = []
+            for a in ast.aggs:
+                if a.func == "count":
+                    if a.var is None:
+                        e = F.count(F.lit(1))
+                    elif a.distinct:
+                        e = F.count_distinct(F.col(a.var))
+                    else:
+                        e = F.count(F.col(a.var))
+                    e = e.cast("long")
+                else:
+                    if a.distinct:
+                        raise ValueError(
+                            "sparql: DISTINCT only supported in COUNT")
+                    e = getattr(F, a.func)(F.col(a.var))
+                exprs.append(e.alias(a.alias))
+            grouped = sol.groupBy(*ast.group_by) if ast.group_by \
+                else sol.groupBy()
+            out = grouped.agg(*exprs)
+            proj = (ast.select_vars or ast.group_by) + \
+                [a.alias for a in ast.aggs]
+            out = out.select(*proj)
+        else:
+            out = sol.select(*(ast.select_vars or sorted(sol.columns)))
+            if ast.distinct:
+                out = out.dropDuplicates()
         if ast.order_by:
             out = out.orderBy(*[F.col(v).asc() if asc else F.col(v).desc()
                                 for v, asc in ast.order_by])

@@ -2621,13 +2621,15 @@ def q_kg_degree_distribution(spark, sf_dir):
 
 def q_bpe_merges(spark, sf_dir):
     """Distributed BPE tokenizer TRAINING (operators/bpe.py): one
-    corpus pass builds the word-frequency dictionary, then each of 12
-    merge rounds is a pair-count aggregate + 1-row argmax fetch + a
-    narrow Arrow merge over the dictionary table (never the corpus).
-    Rows-only at the registry layer (a merge loop is not
-    SQL-expressible); the correctness gate is EXACT parity with the
-    pure-Python reference learner on the same corpus
-    (tests/test_bpe.py)."""
+    corpus pass builds the word-frequency dictionary, then each merge
+    ROUND applies every provably non-interacting top-k pair (12 merges
+    land in ~6 rounds on this fixture; a 32k-vocab run is O(hundreds)
+    of rounds, not 32k) — each round is a pair-count aggregate +
+    top-k fetch + creation-bound job + a narrow Arrow merge over the
+    dictionary table (never the corpus).  Rows-only at the registry
+    layer (a merge loop is not SQL-expressible); the correctness gate
+    is EXACT parity with the pure-Python reference learner on the
+    same corpus (tests/test_bpe.py)."""
     from ferenda_spark.operators.bpe import learn_bpe, merges_df, words_df
     d = _read_wide(spark, sf_dir, "documents")
     merges = learn_bpe(words_df(d), n_merges=12)
@@ -2921,6 +2923,17 @@ def q_sparql_select(spark, sf_dir):
       FILTER (regex(?id, "0$"))
     }}"""
     return sparql_query(t, rq)
+
+
+def q_sparql_stats_counts(spark, sf_dir):
+    """A7 stats twin through the SPARQL surface: GROUP BY aggregate
+    (``SELECT ?p (COUNT(*) AS ?n) ... GROUP BY ?p``) compiled to
+    groupBy().agg() — partial aggregation map-side, one shuffle on the
+    group key."""
+    from ferenda_spark.operators.sparql import sparql_query
+    t = _lift(spark, sf_dir)
+    return sparql_query(
+        t, "SELECT ?p (COUNT(*) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?p")
 
 
 def q_mkpatch_roundtrip(spark, sf_dir):
@@ -3585,6 +3598,11 @@ SELECT DISTINCT subj, pred, obj FROM (
   UNION ALL
   SELECT rs.part, '{DCT}isReferencedBy', rs.s FROM ref_s rs
 )
+"""
+
+ORACLE["sparql_stats_counts"] = f"""
+WITH {_LIFT_CTE.strip()}
+SELECT pred AS p, count(*)::BIGINT AS n FROM lift GROUP BY pred
 """
 
 ORACLE["mkpatch_roundtrip"] = """
@@ -4915,6 +4933,7 @@ def registry_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mkpatch_roundtrip": q_mkpatch_roundtrip,
         # round-5: SPARQL SELECT surface (construct is in the window)
         "sparql_select": q_sparql_select,
+        "sparql_stats_counts": q_sparql_stats_counts,
         # round-5 window swap: stable set-ops veteran out (its
         # intersect twin was already here)
         "kg_set_diff": q_kg_set_diff,

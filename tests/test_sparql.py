@@ -63,6 +63,17 @@ def test_parse_errors():
         parse_sparql("ASK WHERE { ?s ?p ?o }")
 
 
+def test_parse_aggregates():
+    ast = parse_sparql("""SELECT ?p (COUNT(*) AS ?n)
+        (MAX(?o) AS ?top) WHERE { ?s ?p ?o } GROUP BY ?p""")
+    assert ast.select_vars == ["p"] and ast.group_by == ["p"]
+    assert [(a.func, a.var, a.alias) for a in ast.aggs] == \
+        [("count", None, "n"), ("max", "o", "top")]
+    ast2 = parse_sparql(
+        "SELECT (COUNT(DISTINCT ?s) AS ?n) WHERE { ?s ?p ?o }")
+    assert ast2.aggs[0].distinct and ast2.aggs[0].var == "s"
+
+
 # ---------------------------------------------------------------------------
 # execution over a small graph
 
@@ -174,6 +185,21 @@ def test_construct_drops_null_slots(graph):
           OPTIONAL { ?r dct:references ?d }
         }""").collect()
     assert got == []  # nothing references a Document directly
+
+
+def test_group_by_count(graph):
+    rows = {r.p: r.n for r in sparql_query(
+        graph, """SELECT ?p (COUNT(*) AS ?n) WHERE { ?s ?p ?o }
+                  GROUP BY ?p""").collect()}
+    assert rows["http://purl.org/dc/terms/isPartOf"] == 2
+    assert rows["rdf:type"] == 2 and rows[DCT + "title"] == 3
+
+
+def test_count_distinct_global(graph):
+    row, = sparql_query(
+        graph, "SELECT (COUNT(DISTINCT ?s) AS ?n) WHERE { ?s ?p ?o }"
+    ).collect()
+    assert row.n == 4  # d1, d2, part, sub
 
 
 def test_broadcast_hint_for_selective_pattern(graph):
