@@ -20,6 +20,8 @@ plus the common SELECT forms):
   aggregation for free)
 * ``CONSTRUCT { template } WHERE { ... }`` -> a (subj, pred, obj)
   DataFrame (one union branch per template pattern)
+* ``ASK { ... }`` -> one boolean ``answer`` row;
+  ``DESCRIBE <uri>...`` -> the IRIs' outbound + inbound triples
 * basic graph patterns joined on shared variables
 * ``OPTIONAL { ... }`` -> left outer join
 * ``{ ... } UNION { ... }`` -> unionByName with null-padded unbound vars
@@ -64,8 +66,8 @@ _TOKEN_RE = re.compile(
     | (?P<pname>[A-Za-z_][A-Za-z0-9_-]*:
         (?:[A-Za-z0-9_%-]|\.(?=[A-Za-z0-9_%-]))*)   # dot only mid-name,
                                  # so 'dcterms:title .' keeps the period
-    | (?P<kw>PREFIX|SELECT|CONSTRUCT|WHERE|OPTIONAL|UNION|FILTER|DISTINCT
-        |ORDER|BY|LIMIT|ASC|DESC|a(?![A-Za-z0-9_]))
+    | (?P<kw>(?:PREFIX|SELECT|CONSTRUCT|DESCRIBE|ASK|WHERE|OPTIONAL|UNION
+        |FILTER|DISTINCT|ORDER|BY|LIMIT|ASC|DESC|a)(?![A-Za-z0-9_]))
     | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)   # FILTER function names
     | (?P<punct>&&|\|\||!=|<=|>=|[{}().;,*+=<>!])
     )""",
@@ -179,7 +181,17 @@ class _Parser:
             iri = self.next()             # <...>
             self.prefixes[pname.rstrip(":")] = iri[1:-1]
         form = self.next().upper()
-        if form not in ("SELECT", "CONSTRUCT"):
+        if form == "DESCRIBE":
+            # DESCRIBE <uri>... — no WHERE group needed
+            uris = []
+            while self.peek():
+                t = self.term()
+                if t.kind != "iri":
+                    raise ValueError("sparql: DESCRIBE takes IRIs")
+                uris.append(t.value)
+            return Query("describe", [u for u in uris], False, [],
+                         Group(), [], None)
+        if form not in ("SELECT", "CONSTRUCT", "ASK"):
             raise ValueError(f"sparql: unsupported form {form}")
         select_vars: list[str] = []
         aggs: list[Agg] = []
@@ -197,11 +209,14 @@ class _Parser:
                 elif t != "*":
                     select_vars.append(t[1:])
             self.expect("WHERE")
-        else:
+        elif form == "CONSTRUCT":
             self.expect("{")
             template = self.pattern_list()
             self.expect("}")
             self.expect("WHERE")
+        elif form == "ASK":            # WHERE keyword optional
+            if self.peek() and self.peek().upper() == "WHERE":
+                self.next()
         self.expect("{")
         where = self.group()
         self.expect("}")
@@ -531,10 +546,20 @@ def sparql_query(triples: DataFrame, query: str,
     solution, deduplicated (a CONSTRUCT result is a GRAPH — set
     semantics, like the reference's rdflib Graph result)."""
     ast = parse_sparql(query)
-    sol = _compile_group(triples.select("subj", "pred", "obj"),
-                         ast.where, max_path_depth)
+    t = triples.select("subj", "pred", "obj")
+    if ast.form == "describe":
+        # all triples where the IRI is subject, plus inbound edges
+        uris = ast.select_vars
+        return (t.where(F.col("subj").isin(uris)
+                        | F.col("obj").isin(uris))
+                .dropDuplicates())
+    sol = _compile_group(t, ast.where, max_path_depth)
     if sol is None:
         raise ValueError("sparql: empty WHERE group")
+    if ast.form == "ask":
+        return (sol.limit(1)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select((F.col("n") > 0).alias("answer")))
     if ast.form == "select":
         if ast.aggs:
             exprs = []

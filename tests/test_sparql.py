@@ -60,7 +60,7 @@ def test_parse_errors():
     with pytest.raises(ValueError, match="unknown prefix"):
         parse_sparql("SELECT ?x WHERE { ?x nope:p ?y }")
     with pytest.raises(ValueError, match="unsupported form"):
-        parse_sparql("ASK WHERE { ?s ?p ?o }")
+        parse_sparql("INSERT { ?s ?p ?o } WHERE { ?s ?p ?o }")
 
 
 def test_parse_aggregates():
@@ -185,6 +185,24 @@ def test_construct_drops_null_slots(graph):
           OPTIONAL { ?r dct:references ?d }
         }""").collect()
     assert got == []  # nothing references a Document directly
+
+
+def test_ask(graph):
+    yes, = sparql_query(graph, """PREFIX dct: <http://purl.org/dc/terms/>
+        ASK { ?s dct:references ?o }""").collect()
+    no, = sparql_query(graph, """PREFIX dct: <http://purl.org/dc/terms/>
+        ASK WHERE { ?s dct:creator ?o }""").collect()
+    assert yes.answer is True and no.answer is False
+
+
+def test_describe(graph):
+    rows = {(r.subj, r.pred, r.obj) for r in
+            sparql_query(graph, "DESCRIBE <http://e/d1#S1>").collect()}
+    assert rows == {
+        ("http://e/d1#S1", DCT + "isPartOf", "http://e/d1"),
+        ("http://e/d1#S1", DCT + "title", "Section 1"),
+        ("http://e/d1#S1.1", DCT + "isPartOf", "http://e/d1#S1"),
+    }
 
 
 def test_group_by_count(graph):
