@@ -1,4 +1,4 @@
-"""SPARQL BGP -> DataFrame compiler: the engine-native counterpart of
+"""SPARQL -> DataFrame compiler: the engine-native counterpart of
 the reference's triplestore query surface.
 
 The reference answers annotation/describe queries by POSTing SPARQL to
@@ -9,12 +9,13 @@ and ships per-repo query templates.  Here the triple table IS a
 DataFrame, so the same queries compile to a Catalyst join plan instead
 of leaving the engine.
 
-Supported subset (everything the reference's shipped templates use,
-plus the common SELECT forms):
+Supported subset — everything the reference's 17 shipped ``.rq``
+templates use (res/sparql/*.rq across ferenda core, tech, legal/se,
+general, and lagen.nu), plus the common SELECT forms:
 
 * ``PREFIX`` declarations, ``a`` for rdf:type
 * ``SELECT ?v ... WHERE { ... }`` (incl. ``*``), ``DISTINCT``,
-  ``ORDER BY``, ``LIMIT``
+  ``ORDER BY``, ``LIMIT``, ``OFFSET``
 * aggregates ``(COUNT([DISTINCT] ?v|*) AS ?n)`` / SUM / MIN / MAX /
   AVG with ``GROUP BY`` -> groupBy().agg() (map-side partial
   aggregation for free)
@@ -22,13 +23,27 @@ plus the common SELECT forms):
   DataFrame (one union branch per template pattern)
 * ``ASK { ... }`` -> one boolean ``answer`` row;
   ``DESCRIBE <uri>...`` -> the IRIs' outbound + inbound triples
-* basic graph patterns joined on shared variables
+* basic graph patterns joined on shared variables, with
+  predicate-object lists (``;``) and object lists (``,``)
 * ``OPTIONAL { ... }`` -> left outer join
-* ``{ ... } UNION { ... }`` -> unionByName with null-padded unbound vars
-* ``FILTER (...)`` with =, !=, <, <=, >, >=, &&, ||, !, regex(?v,"re"),
-  bound(?v), str(?v)
-* property paths ``p*`` / ``p+`` (bounded closure, default depth 3 —
-  the reference's part trees nest S / S.1 / S.1.1, same bound as
+* ``{ ... } UNION { ... } UNION { ... }`` (n-ary) -> unionByName with
+  null-padded unbound vars; a braced group NOT followed by UNION is
+  merged into its parent (group nesting)
+* ``GRAPH <iri> { ... }`` -> transparent: the engine is a
+  single-graph store, the DataFrame handed in IS the named dataset
+  (the reference parameterizes ``%(context)s`` per repo the same way)
+* ``BIND(expr AS ?v)`` -> withColumn at the group's position
+* ``FILTER (...)`` with the full expression grammar the templates
+  use: ``= != < <= > >= && || !``, parentheses, ``?x IN (iri, ...)``,
+  ``regex(?v,"re")``, ``bound(?v)``, ``str(x)``, ``STRSTARTS/STRENDS/
+  CONTAINS(a, b)`` (either argument an expression), ``LCASE/UCASE/
+  STRLEN``, ``isURI/isIRI/isLiteral(?v)`` — URI-ness is exact, read
+  from the triple schema's ``obj_is_uri`` flag (operators/triples.py
+  TRIPLES_COLS), not guessed from the string
+* property paths ``p*`` / ``p+`` / ``p{m,n}`` (e.g. the reference's
+  ``dcterms:isPartOf{,1}`` in prop-annotations.rq) — bounded closure,
+  default depth 3 for the unbounded forms (the reference's part trees
+  nest S / S.1 / S.1.1, same bound as
   operators/canonicalize.annotation_closure)
 
 Spark shape / scale notes:
@@ -43,9 +58,12 @@ Spark shape / scale notes:
   the query itself is disconnected.
 * A pattern bound by 2+ constants is a needle in the table => its scan
   is broadcast-hinted into the join.
-* ``p*``/``p+`` closures are ``max_path_depth`` chained self-joins of
-  the edge subset (one pred-filtered scan reused), not a driver loop
-  over collected rows.
+* ``p*``/``p+``/``p{m,n}`` closures are chained self-joins of the
+  edge subset (one pred-filtered scan reused), not a driver loop over
+  collected rows.
+* The ``obj_is_uri`` shadow columns that power isURI/isLiteral are
+  only materialized when the query actually uses those functions, so
+  the common case pays nothing.
 """
 
 from __future__ import annotations
@@ -67,11 +85,15 @@ _TOKEN_RE = re.compile(
         (?:[A-Za-z0-9_%-]|\.(?=[A-Za-z0-9_%-]))*)   # dot only mid-name,
                                  # so 'dcterms:title .' keeps the period
     | (?P<kw>(?:PREFIX|SELECT|CONSTRUCT|DESCRIBE|ASK|WHERE|OPTIONAL|UNION
-        |FILTER|DISTINCT|ORDER|BY|LIMIT|ASC|DESC|a)(?![A-Za-z0-9_]))
-    | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)   # FILTER function names
+        |FILTER|BIND|GRAPH|DISTINCT|ORDER|BY|LIMIT|OFFSET|ASC|DESC|a)
+        (?![A-Za-z0-9_]))
+    | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)   # FILTER function names, AS, IN
     | (?P<punct>&&|\|\||!=|<=|>=|[{}().;,*+=<>!])
     )""",
     re.X | re.I)
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+_SHADOW = "__isuri__"      # prefix of the per-var URI-ness shadow column
 
 
 def _tokenize(q: str) -> list[str]:
@@ -99,15 +121,16 @@ class Pattern:
     s: Term
     p: Term
     o: Term
-    path: str | None = None  # None | '*' | '+'
+    path: tuple[int, int | None] | None = None  # (min, max); max None = default
 
 
 @dataclass
 class Group:
-    patterns: list = field(default_factory=list)   # Pattern | Group ops
+    patterns: list = field(default_factory=list)   # [Pattern]
     optionals: list = field(default_factory=list)  # [Group]
-    unions: list = field(default_factory=list)     # [(Group, Group)]
+    unions: list = field(default_factory=list)     # [[Group, Group, ...]]
     filters: list = field(default_factory=list)    # [token list]
+    binds: list = field(default_factory=list)      # [(expr tokens, varname)]
 
 
 @dataclass
@@ -120,7 +143,7 @@ class Agg:
 
 @dataclass
 class Query:
-    form: str                 # select | construct
+    form: str                 # select | construct | ask | describe
     select_vars: list[str]    # [] means *
     distinct: bool
     template: list[Pattern]   # construct template
@@ -129,9 +152,7 @@ class Query:
     limit: int | None
     aggs: list[Agg] = field(default_factory=list)
     group_by: list[str] = field(default_factory=list)
-
-
-RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    offset: int | None = None
 
 
 class _Parser:
@@ -140,8 +161,9 @@ class _Parser:
         self.i = 0
         self.prefixes: dict[str, str] = {}
 
-    def peek(self) -> str | None:
-        return self.toks[self.i] if self.i < len(self.toks) else None
+    def peek(self, ahead: int = 0) -> str | None:
+        j = self.i + ahead
+        return self.toks[j] if j < len(self.toks) else None
 
     def next(self) -> str:
         t = self.peek()
@@ -155,9 +177,18 @@ class _Parser:
         if t.upper() != tok.upper():
             raise ValueError(f"sparql: expected {tok!r}, got {t!r}")
 
+    def _expand_pname(self, t: str) -> str:
+        pfx, local = t.split(":", 1)
+        if pfx not in self.prefixes:
+            raise ValueError(f"sparql: unknown prefix {pfx!r}")
+        return self.prefixes[pfx] + local
+
     def term(self) -> Term:
         t = self.next()
         if t.startswith("?"):
+            if t[1:].startswith("__"):
+                raise ValueError(
+                    "sparql: variable names starting with __ are reserved")
             return Term("var", t[1:])
         if t.startswith("<"):
             return Term("iri", t[1:-1])
@@ -166,10 +197,7 @@ class _Parser:
         if t == "a":
             return Term("iri", RDF_TYPE)
         if ":" in t:
-            pfx, local = t.split(":", 1)
-            if pfx not in self.prefixes:
-                raise ValueError(f"sparql: unknown prefix {pfx!r}")
-            return Term("iri", self.prefixes[pfx] + local)
+            return Term("iri", self._expand_pname(t))
         if re.fullmatch(r"-?\d+(\.\d+)?", t):
             return Term("lit", t)
         raise ValueError(f"sparql: bad term {t!r}")
@@ -223,6 +251,7 @@ class _Parser:
         order_by: list[tuple[str, bool]] = []
         group_by: list[str] = []
         limit = None
+        offset = None
         while self.peek():
             t = self.next().upper()
             if t == "GROUP":
@@ -245,10 +274,12 @@ class _Parser:
                     order_by.append((v[1:], asc))
             elif t == "LIMIT":
                 limit = int(self.next())
+            elif t == "OFFSET":
+                offset = int(self.next())
             else:
                 raise ValueError(f"sparql: unexpected trailing {t!r}")
         return Query(form.lower(), select_vars, distinct, template,
-                     where, order_by, limit, aggs, group_by)
+                     where, order_by, limit, aggs, group_by, offset)
 
     def _agg(self) -> Agg:
         func = self.next().lower()
@@ -274,19 +305,54 @@ class _Parser:
     def pattern_list(self) -> list[Pattern]:
         pats: list[Pattern] = []
         while self.peek() and self.peek() != "}":
-            pats.append(self.pattern())
+            pats.extend(self.pattern_block())
             if self.peek() == ".":
                 self.next()
         return pats
 
-    def pattern(self) -> Pattern:
+    def _path_quant(self) -> tuple[int, int | None] | None:
+        t = self.peek()
+        if t == "*":
+            self.next()
+            return (0, None)
+        if t == "+":
+            self.next()
+            return (1, None)
+        if t == "{":
+            # {m,n} / {,n} / {m,} — SPARQL 1.1 draft quantifiers the
+            # reference uses (prop-annotations.rq 'isPartOf{,1}')
+            self.next()
+            lo = 0
+            if self.peek() and re.fullmatch(r"\d+", self.peek()):
+                lo = int(self.next())
+            self.expect(",")
+            hi = None
+            if self.peek() and re.fullmatch(r"\d+", self.peek()):
+                hi = int(self.next())
+            self.expect("}")
+            return (lo, hi)
+        return None
+
+    def pattern_block(self) -> list[Pattern]:
+        """One subject's statements: ``s p1 o1a, o1b ; p2 o2`` ->
+        patterns sharing the subject (``;`` predicate-object lists and
+        ``,`` object lists)."""
         s = self.term()
-        p = self.term()
-        path = None
-        if self.peek() in ("*", "+"):
-            path = self.next()
-        o = self.term()
-        return Pattern(s, p, o, path)
+        pats: list[Pattern] = []
+        while True:
+            p = self.term()
+            path = self._path_quant()
+            pats.append(Pattern(s, p, self.term(), path))
+            while self.peek() == ",":
+                self.next()
+                pats.append(Pattern(s, p, self.term(), path))
+            if self.peek() == ";":
+                self.next()
+                if self.peek() in (None, ".", "}", ";"):   # trailing ;
+                    break
+                continue
+            break
+        return pats
 
     def group(self) -> Group:
         g = Group()
@@ -303,22 +369,67 @@ class _Parser:
             elif up == "FILTER":
                 self.next()
                 g.filters.append(self._filter_tokens())
+            elif up == "BIND":
+                self.next()
+                toks = self._filter_tokens()
+                # split on the top-level AS
+                depth, split = 0, None
+                for j, bt in enumerate(toks):
+                    if bt == "(":
+                        depth += 1
+                    elif bt == ")":
+                        depth -= 1
+                    elif depth == 0 and bt.upper() == "AS":
+                        split = j
+                if split is None or split + 1 >= len(toks) \
+                        or not toks[split + 1].startswith("?"):
+                    raise ValueError("sparql: BIND needs (expr AS ?var)")
+                g.binds.append((toks[:split], toks[split + 1][1:]))
+            elif up == "GRAPH":
+                # single-graph store: the DataFrame handed to
+                # sparql_query IS the named dataset, so the GRAPH
+                # wrapper is transparent (constant graph names only)
+                self.next()
+                gterm = self.term()
+                if gterm.kind == "var":
+                    raise ValueError(
+                        "sparql: GRAPH with a variable graph name is "
+                        "not supported (single-graph store)")
+                self.expect("{")
+                self._merge(g, self.group())
+                self.expect("}")
             elif t == "{":
                 self.next()
-                left = self.group()
+                first = self.group()
                 self.expect("}")
-                self.expect("UNION")
-                self.expect("{")
-                right = self.group()
-                self.expect("}")
-                g.unions.append((left, right))
+                branches = [first]
+                while self.peek() and self.peek().upper() == "UNION":
+                    self.next()
+                    self.expect("{")
+                    branches.append(self.group())
+                    self.expect("}")
+                if len(branches) == 1:   # plain nested group: merge
+                    self._merge(g, first)
+                else:
+                    g.unions.append(branches)
             elif t == ".":
                 self.next()
             else:
-                g.patterns.append(self.pattern())
+                g.patterns.extend(self.pattern_block())
         return g
 
+    @staticmethod
+    def _merge(g: Group, sub: Group) -> None:
+        g.patterns.extend(sub.patterns)
+        g.optionals.extend(sub.optionals)
+        g.unions.extend(sub.unions)
+        g.filters.extend(sub.filters)
+        g.binds.extend(sub.binds)
+
     def _filter_tokens(self) -> list[str]:
+        """Collect the parenthesized token list of a FILTER/BIND,
+        expanding pnames to ``<iri>`` tokens so downstream compilation
+        needs no prefix table."""
         self.expect("(")
         depth, toks = 1, []
         while depth:
@@ -329,6 +440,9 @@ class _Parser:
                 depth -= 1
                 if not depth:
                     break
+            if (":" in t and not t.startswith(("?", '"', "<"))
+                    and not re.fullmatch(r"-?\d+(\.\d+)?", t)):
+                t = "<" + self._expand_pname(t) + ">"
             toks.append(t)
         return toks
 
@@ -338,66 +452,188 @@ def parse_sparql(q: str) -> Query:
 
 
 # ---------------------------------------------------------------------------
-# compilation
+# FILTER / BIND expression compilation (token list -> Spark SQL string)
+
+_FUNCS_2 = {"strstarts": "startswith", "strends": "endswith",
+            "contains": "contains"}
+_FUNCS_1 = {"lcase": "lower", "ucase": "upper", "strlen": "length"}
+_CMP_OPS = ("=", "!=", "<", "<=", ">", ">=")
+
+
+class _ExprCompiler:
+    """Recursive-descent compiler for the FILTER/BIND expression subset
+    to an injection-safe Spark SQL string: every emitted fragment is a
+    backticked column, a vetted operator/function, or a literal
+    re-quoted from our own tokenizer."""
+
+    def __init__(self, toks: list[str], cols: set[str]):
+        self.toks = toks
+        self.cols = cols
+        self.i = 0
+
+    def peek(self, ahead: int = 0) -> str | None:
+        j = self.i + ahead
+        return self.toks[j] if j < len(self.toks) else None
+
+    def next(self) -> str:
+        t = self.peek()
+        if t is None:
+            raise ValueError("sparql: unexpected end of FILTER expression")
+        self.i += 1
+        return t
+
+    def expect(self, tok: str) -> None:
+        t = self.next()
+        if t != tok:
+            raise ValueError(f"sparql: FILTER expected {tok!r}, got {t!r}")
+
+    def compile(self) -> str:
+        out = self.or_expr()
+        if self.peek() is not None:
+            raise ValueError(
+                f"sparql: trailing FILTER token {self.peek()!r}")
+        return out
+
+    def or_expr(self) -> str:
+        parts = [self.and_expr()]
+        while self.peek() == "||":
+            self.next()
+            parts.append(self.and_expr())
+        return " OR ".join(parts) if len(parts) > 1 \
+            else parts[0]
+
+    def and_expr(self) -> str:
+        parts = [self.not_expr()]
+        while self.peek() == "&&":
+            self.next()
+            parts.append(self.not_expr())
+        return " AND ".join(f"({p})" for p in parts) if len(parts) > 1 \
+            else parts[0]
+
+    def not_expr(self) -> str:
+        if self.peek() == "!":
+            self.next()
+            return f"(NOT ({self.not_expr()}))"
+        return self.rel_expr()
+
+    def rel_expr(self) -> str:
+        left = self.value()
+        t = self.peek()
+        if t in _CMP_OPS:
+            self.next()
+            return f"{left} {t} {self.value()}"
+        if t is not None and t.upper() == "IN":
+            self.next()
+            self.expect("(")
+            items = [self.value()]
+            while self.peek() == ",":
+                self.next()
+                items.append(self.value())
+            self.expect(")")
+            return f"{left} IN ({', '.join(items)})"
+        return left
+
+    def _var_col(self, t: str) -> str:
+        v = t[1:]
+        if v not in self.cols:
+            raise ValueError(f"sparql: FILTER on unbound ?{v}")
+        return f"`{v}`"
+
+    def _shadow(self, t: str) -> str:
+        v = t[1:]
+        if v not in self.cols:
+            raise ValueError(f"sparql: FILTER on unbound ?{v}")
+        sh = _SHADOW + v
+        if sh not in self.cols:
+            raise ValueError(
+                f"sparql: isURI/isLiteral needs the obj_is_uri column "
+                f"in the triples DataFrame (missing for ?{v})")
+        return f"`{sh}`"
+
+    def value(self) -> str:
+        t = self.next()
+        low = t.lower()
+        if t == "(":
+            inner = self.or_expr()
+            self.expect(")")
+            return f"({inner})"
+        if t.startswith("?"):
+            return self._var_col(t)
+        if t.startswith('"'):
+            return "'" + t[1:-1].replace("\\\\", "\\").replace('\\"', '"') \
+                .replace("'", "''") + "'"
+        if t.startswith("<"):   # IRIs are stored as plain strings
+            return "'" + t[1:-1].replace("'", "''") + "'"
+        if re.fullmatch(r"-?\d+(\.\d+)?", t):
+            return t
+        if low == "regex":
+            self.expect("(")
+            arg = self.value()
+            self.expect(",")
+            pat = self.value()
+            self.expect(")")
+            return f"({arg} RLIKE {pat})"
+        if low == "bound":
+            self.expect("(")
+            v = self._var_col(self.next())
+            self.expect(")")
+            return f"({v} IS NOT NULL)"
+        if low == "str":
+            self.expect("(")
+            arg = self.value()
+            self.expect(")")
+            return f"CAST({arg} AS STRING)"
+        if low in ("isuri", "isiri"):
+            self.expect("(")
+            sh = self._shadow(self.next())
+            self.expect(")")
+            return f"(coalesce({sh}, false))"
+        if low == "isliteral":
+            self.expect("(")
+            vt = self.next()
+            v, sh = self._var_col(vt), self._shadow(vt)
+            self.expect(")")
+            return f"({v} IS NOT NULL AND NOT coalesce({sh}, false))"
+        if low in _FUNCS_2:
+            self.expect("(")
+            a = self.value()
+            self.expect(",")
+            b = self.value()
+            self.expect(")")
+            return f"{_FUNCS_2[low]}({a}, {b})"
+        if low in _FUNCS_1:
+            self.expect("(")
+            a = self.value()
+            self.expect(")")
+            return f"{_FUNCS_1[low]}({a})"
+        raise ValueError(f"sparql: unsupported FILTER token {t!r}")
+
 
 def _filter_expr(toks: list[str], cols: set[str]) -> Column:
-    """Translate a FILTER token list to a Spark SQL expression over the
-    solution's variable columns.  Tokens were produced by our own
-    tokenizer, so rebuilding the expression string is injection-safe:
-    variables map to backticked columns, everything else is a vetted
-    operator/function/literal token."""
-    parts: list[str] = []
-    i = 0
-    while i < len(toks):
-        t = toks[i]
-        if t.startswith("?"):
-            v = t[1:]
-            if v not in cols:
-                raise ValueError(f"sparql: FILTER on unbound ?{v}")
-            parts.append(f"`{v}`")
-        elif t.startswith('"'):
-            parts.append("'" + t[1:-1].replace("'", "''") + "'")
-        elif t == "=":
-            parts.append("=")
-        elif t in ("!=", "<", "<=", ">", ">=", "(", ")", ","):
-            parts.append(t)
-        elif t == "&&":
-            parts.append("AND")
-        elif t == "||":
-            parts.append("OR")
-        elif t == "!":
-            parts.append("NOT")
-        elif re.fullmatch(r"-?\d+(\.\d+)?", t):
-            parts.append(t)
-        elif t.lower() == "regex":
-            # regex(?v, "pat") -> ?v rlike 'pat'; consumes '( ?v , "p" )'
-            v, pat = toks[i + 2], toks[i + 4]
-            parts.append(f"`{v[1:]}` RLIKE '" +
-                         pat[1:-1].replace("'", "''") + "'")
-            i += 6
-            continue
-        elif t.lower() == "bound":
-            v = toks[i + 2]          # consumes '( ?v )'
-            parts.append(f"`{v[1:]}` IS NOT NULL")
-            i += 4
-            continue
-        elif t.lower() == "str":
-            v = toks[i + 2]          # consumes '( ?v )'
-            parts.append(f"CAST(`{v[1:]}` AS STRING)")
-            i += 4
-            continue
-        else:
-            raise ValueError(f"sparql: unsupported FILTER token {t!r}")
-        i += 1
-    return F.expr(" ".join(parts))
+    return F.expr(_ExprCompiler(toks, cols).compile())
 
+
+def _uses_shadows(g: Group) -> bool:
+    """Does any FILTER/BIND in this group tree call isURI/isLiteral?"""
+    for toks in g.filters + [b[0] for b in g.binds]:
+        if any(t.lower() in ("isuri", "isiri", "isliteral") for t in toks):
+            return True
+    return (any(_uses_shadows(o) for o in g.optionals)
+            or any(_uses_shadows(b) for bs in g.unions for b in bs))
+
+
+# ---------------------------------------------------------------------------
+# compilation
 
 def _pattern_df(triples: DataFrame, pat: Pattern, max_path_depth: int,
-                ) -> tuple[DataFrame, int]:
+                shadows: bool) -> tuple[DataFrame, int]:
     """One triple pattern -> (projected scan keyed by its variable
-    columns, n_bound_constants).  Constants become pushdown filters."""
+    columns, n_bound_constants).  Constants become pushdown filters.
+    With ``shadows``, each var also gets a boolean ``__isuri__<var>``
+    column: True for subj/pred bindings (always IRIs in RDF), the
+    table's obj_is_uri flag for obj bindings."""
     if pat.path:
-        return _path_df(triples, pat, max_path_depth)
+        return _path_df(triples, pat, max_path_depth, shadows)
     df = triples
     n_bound = 0
     sel: dict[str, str] = {}  # var -> source column
@@ -410,31 +646,39 @@ def _pattern_df(triples: DataFrame, pat: Pattern, max_path_depth: int,
         else:
             df = df.where(F.col(col) == term.value)
             n_bound += 1
-    out = df.select(*[F.col(c).alias(v) for v, c in sel.items()])
-    return out, n_bound
+    cols = [F.col(c).alias(v) for v, c in sel.items()]
+    if shadows:
+        for v, c in sel.items():
+            cols.append((F.col("obj_is_uri") if c == "obj"
+                         else F.lit(True)).alias(_SHADOW + v))
+    return df.select(*cols), n_bound
 
 
 def _path_df(triples: DataFrame, pat: Pattern, max_path_depth: int,
-             ) -> tuple[DataFrame, int]:
-    """``?s p* ?o`` / ``p+``: bounded closure of the p-edge subset.
-    ``*`` includes the zero-length path (every node reaches itself —
-    for a constant endpoint that is just the constant row; for the
-    var-var form the node set of the p-subgraph)."""
+             shadows: bool) -> tuple[DataFrame, int]:
+    """``?s p* ?o`` / ``p+`` / ``p{m,n}``: bounded closure of the
+    p-edge subset.  Zero-length paths (min 0) mean every node reaches
+    itself — for a constant endpoint that is just the constant row;
+    for the var-var form the node set of the p-subgraph."""
     if pat.p.kind == "var":
         raise ValueError("sparql: property path needs a constant predicate")
+    lo, hi = pat.path
+    hi = max_path_depth if hi is None else hi
     edges = (triples.where(F.col("pred") == pat.p.value)
              .select(F.col("subj").alias("_s"), F.col("obj").alias("_o"))
              .dropDuplicates())
-    closure = edges
+    closure = edges if lo <= 1 and hi >= 1 else None
     frontier = edges
-    for _ in range(max_path_depth - 1):
+    for length in range(2, hi + 1):
         frontier = (frontier.alias("f")
                     .join(edges.alias("e"),
                           F.col("f._o") == F.col("e._s"))
                     .select(F.col("f._s").alias("_s"),
                             F.col("e._o").alias("_o")))
-        closure = closure.unionByName(frontier).dropDuplicates()
-    if pat.path == "*":
+        if length >= lo:
+            closure = frontier if closure is None \
+                else closure.unionByName(frontier).dropDuplicates()
+    if lo == 0:
         if pat.s.kind != "var":
             zero = triples.sparkSession.createDataFrame(
                 [(pat.s.value, pat.s.value)], "_s string, _o string")
@@ -447,7 +691,10 @@ def _path_df(triples: DataFrame, pat: Pattern, max_path_depth: int,
                      .dropDuplicates())
             zero = nodes.select(F.col("n").alias("_s"),
                                 F.col("n").alias("_o"))
-        closure = closure.unionByName(zero).dropDuplicates()
+        closure = zero if closure is None \
+            else closure.unionByName(zero).dropDuplicates()
+    if closure is None:
+        raise ValueError(f"sparql: empty path quantifier {{{lo},{hi}}}")
 
     df = closure
     n_bound = 0
@@ -461,14 +708,28 @@ def _path_df(triples: DataFrame, pat: Pattern, max_path_depth: int,
         else:
             df = df.where(F.col(col) == term.value)
             n_bound += 1
-    return df.select(*[F.col(c).alias(v) for v, c in sel.items()]), n_bound
+    cols = [F.col(c).alias(v) for v, c in sel.items()]
+    if shadows:
+        # path endpoints are IRIs by construction (part-tree edges)
+        cols += [F.lit(True).alias(_SHADOW + v) for v in sel]
+    return df.select(*cols), n_bound
+
+
+def _var_cols(cols) -> list[str]:
+    return [c for c in cols if not c.startswith(_SHADOW)]
+
+
+def _drop_dup_shadows(df: DataFrame, sol_cols: set[str]) -> DataFrame:
+    dups = [c for c in df.columns
+            if c.startswith(_SHADOW) and c in sol_cols]
+    return df.drop(*dups) if dups else df
 
 
 def _join_patterns(triples: DataFrame, pats: list[Pattern],
-                   max_path_depth: int) -> DataFrame | None:
+                   max_path_depth: int, shadows: bool) -> DataFrame | None:
     if not pats:
         return None
-    scans = [_pattern_df(triples, p, max_path_depth) for p in pats]
+    scans = [_pattern_df(triples, p, max_path_depth, shadows) for p in pats]
     # selectivity-ordered greedy join: start from the most
     # constant-bound scan, always extend with a scan sharing a variable
     order = sorted(range(len(scans)), key=lambda i: -scans[i][1])
@@ -482,15 +743,17 @@ def _join_patterns(triples: DataFrame, pats: list[Pattern],
         for i in order:
             if used[i]:
                 continue
-            if set(scans[i][0].columns) & set(sol.columns):
+            if set(_var_cols(scans[i][0].columns)) & set(sol.columns):
                 pick = i
                 break
         if pick is None:          # disconnected query: cartesian
             pick = next(i for i in order if not used[i])
-            sol = sol.crossJoin(scans[pick][0])
+            sol = sol.crossJoin(_drop_dup_shadows(scans[pick][0],
+                                                  set(sol.columns)))
         else:
             df, n_bound = scans[pick]
-            shared = list(set(df.columns) & set(sol.columns))
+            shared = [c for c in _var_cols(df.columns) if c in sol.columns]
+            df = _drop_dup_shadows(df, set(sol.columns))
             # a 2+-constant pattern is a needle => broadcast it
             sol = sol.join(F.broadcast(df) if n_bound >= 2 else df,
                            on=shared)
@@ -500,37 +763,72 @@ def _join_patterns(triples: DataFrame, pats: list[Pattern],
 
 
 def _null_pad(df: DataFrame, cols: list[str]) -> DataFrame:
-    missing = [c for c in cols if c not in df.columns]
-    for c in missing:
-        df = df.withColumn(c, F.lit(None).cast("string"))
+    for c in cols:
+        if c not in df.columns:
+            typ = "boolean" if c.startswith(_SHADOW) else "string"
+            df = df.withColumn(c, F.lit(None).cast(typ))
     return df.select(*cols)
 
 
-def _compile_group(triples: DataFrame, g: Group,
-                   max_path_depth: int) -> DataFrame | None:
-    sol = _join_patterns(triples, g.patterns, max_path_depth)
-    for left, right in g.unions:
-        ldf = _compile_group(triples, left, max_path_depth)
-        rdf = _compile_group(triples, right, max_path_depth)
-        if ldf is None or rdf is None:
+def _apply_bind(sol: DataFrame, toks: list[str], var: str,
+                shadows: bool) -> DataFrame:
+    if var in sol.columns:
+        raise ValueError(f"sparql: BIND would rebind ?{var}")
+    if len(toks) == 1 and toks[0].startswith("?"):   # alias a variable
+        src = toks[0][1:]
+        if src not in sol.columns:
+            raise ValueError(f"sparql: BIND of unbound ?{src}")
+        sol = sol.withColumn(var, F.col(src))
+        if shadows:
+            sh = _SHADOW + src
+            sol = sol.withColumn(
+                _SHADOW + var,
+                F.col(sh) if sh in sol.columns else F.lit(None)
+                .cast("boolean"))
+        return sol
+    expr = _ExprCompiler(toks, set(sol.columns)).compile()
+    sol = sol.withColumn(var, F.expr(expr))
+    if shadows:
+        # a computed value is a literal unless it is a single IRI token
+        is_iri = len(toks) == 1 and toks[0].startswith("<")
+        sol = sol.withColumn(_SHADOW + var, F.lit(bool(is_iri)))
+    return sol
+
+
+def _compile_group(triples: DataFrame, g: Group, max_path_depth: int,
+                   shadows: bool) -> DataFrame | None:
+    sol = _join_patterns(triples, g.patterns, max_path_depth, shadows)
+    for branches in g.unions:
+        dfs = [_compile_group(triples, b, max_path_depth, shadows)
+               for b in branches]
+        if any(d is None for d in dfs):
             raise ValueError("sparql: empty UNION branch")
-        cols = sorted(set(ldf.columns) | set(rdf.columns))
-        udf_ = _null_pad(ldf, cols).unionByName(_null_pad(rdf, cols))
+        cols = sorted({c for d in dfs for c in d.columns})
+        udf_ = _null_pad(dfs[0], cols)
+        for d in dfs[1:]:
+            udf_ = udf_.unionByName(_null_pad(d, cols))
         if sol is None:
             sol = udf_
         else:
-            shared = list(set(udf_.columns) & set(sol.columns))
+            shared = [c for c in _var_cols(udf_.columns)
+                      if c in sol.columns]
+            udf_ = _drop_dup_shadows(udf_, set(sol.columns))
             sol = sol.join(udf_, on=shared) if shared \
                 else sol.crossJoin(udf_)
     for opt in g.optionals:
         if sol is None:
             raise ValueError("sparql: OPTIONAL without a base pattern")
-        odf = _compile_group(triples, opt, max_path_depth)
+        odf = _compile_group(triples, opt, max_path_depth, shadows)
         if odf is None:
             continue
-        shared = list(set(odf.columns) & set(sol.columns))
+        shared = [c for c in _var_cols(odf.columns) if c in sol.columns]
+        odf = _drop_dup_shadows(odf, set(sol.columns))
         sol = sol.join(odf, on=shared, how="left") if shared \
             else sol.crossJoin(odf)
+    for toks, var in g.binds:
+        if sol is None:
+            raise ValueError("sparql: BIND without a base pattern")
+        sol = _apply_bind(sol, toks, var, shadows)
     for ftoks in g.filters:
         sol = sol.where(_filter_expr(ftoks, set(sol.columns)))
     return sol
@@ -539,21 +837,30 @@ def _compile_group(triples: DataFrame, g: Group,
 def sparql_query(triples: DataFrame, query: str,
                  max_path_depth: int = 3) -> DataFrame:
     """Run a SPARQL query (see module docstring for the subset) against
-    a (subj, pred, obj, ...) triples DataFrame.
+    a (subj, pred, obj[, obj_is_uri], ...) triples DataFrame.
 
     SELECT -> one column per selected variable.
     CONSTRUCT -> (subj, pred, obj) rows, template-instantiated per
     solution, deduplicated (a CONSTRUCT result is a GRAPH — set
     semantics, like the reference's rdflib Graph result)."""
     ast = parse_sparql(query)
-    t = triples.select("subj", "pred", "obj")
+    shadows = _uses_shadows(ast.where)
+    base = ["subj", "pred", "obj"]
+    if shadows:
+        if "obj_is_uri" not in triples.columns:
+            raise ValueError(
+                "sparql: isURI/isLiteral need the obj_is_uri column in "
+                "the triples DataFrame (operators/triples.py TRIPLES_COLS)")
+        t = triples.select(*base, "obj_is_uri")
+    else:
+        t = triples.select(*base)
     if ast.form == "describe":
         # all triples where the IRI is subject, plus inbound edges
         uris = ast.select_vars
-        return (t.where(F.col("subj").isin(uris)
-                        | F.col("obj").isin(uris))
+        return (t.select(*base)
+                .where(F.col("subj").isin(uris) | F.col("obj").isin(uris))
                 .dropDuplicates())
-    sol = _compile_group(t, ast.where, max_path_depth)
+    sol = _compile_group(t, ast.where, max_path_depth, shadows)
     if sol is None:
         raise ValueError("sparql: empty WHERE group")
     if ast.form == "ask":
@@ -585,12 +892,15 @@ def sparql_query(triples: DataFrame, query: str,
                 [a.alias for a in ast.aggs]
             out = out.select(*proj)
         else:
-            out = sol.select(*(ast.select_vars or sorted(sol.columns)))
+            out = sol.select(*(ast.select_vars
+                               or sorted(_var_cols(sol.columns))))
             if ast.distinct:
                 out = out.dropDuplicates()
         if ast.order_by:
             out = out.orderBy(*[F.col(v).asc() if asc else F.col(v).desc()
                                 for v, asc in ast.order_by])
+        if ast.offset:
+            out = out.offset(ast.offset)
         if ast.limit is not None:
             out = out.limit(ast.limit)
         return out

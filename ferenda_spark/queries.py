@@ -113,6 +113,28 @@ def _lift(spark, sf_dir) -> DataFrame:
     return out.where(F.col("obj").isNotNull())
 
 
+def _lift_typed(spark, sf_dir) -> DataFrame:
+    """The _lift graph with the schema's obj_is_uri flag (triples.py
+    TRIPLES_COLS) — what isURI/isLiteral FILTERs read, exactly."""
+    d = _read(spark, sf_dir, "documents")
+    subj = F.concat(F.lit(BASE + "res/"), "source", F.lit("/"),
+                    F.col("doc_id").cast("string"))
+    ent = F.concat(F.lit(BASE + "ext/"), "source")
+    branches = [
+        (F.lit(RDF_TYPE), F.lit(FOAF_DOC), True),
+        (F.lit(DCT + "identifier"), F.col("doc_id").cast("string"), False),
+        (F.lit(DCT + "language"), F.col("lang"), False),
+        (F.lit(DCT + "publisher"), ent, True),
+        (F.lit(DCT + "extent"), F.col("n_chars").cast("string"), False),
+    ]
+    out = None
+    for pred, obj, is_uri in branches:
+        b = d.select(subj.alias("subj"), pred.alias("pred"),
+                     obj.alias("obj"), F.lit(is_uri).alias("obj_is_uri"))
+        out = b if out is None else out.unionByName(b)
+    return out.where(F.col("obj").isNotNull())
+
+
 _LIFT_CTE = f"""
 lift AS (
   SELECT '{BASE}res/' || source || '/' || doc_id::VARCHAR AS subj,
@@ -2925,6 +2947,30 @@ def q_sparql_select(spark, sf_dir):
     return sparql_query(t, rq)
 
 
+def q_sparql_filter_select(spark, sf_dir):
+    """r5 SPARQL FILTER expression surface through the compiler — the
+    grammar the reference's legal/se templates use (sfs_changes.rq:
+    ``STRSTARTS(STR(..)) && ?x IN (..)``; sfs_wikientries.rq:
+    STRSTARTS; rfc-annotations.rq: isUri + BIND): typed documents
+    restricted to one URI prefix, predicate whitelisted via IN,
+    literal objects only — URI-ness read from the triple schema's
+    obj_is_uri flag (operators/triples.py), never guessed from the
+    string.  Scale shape: every FILTER conjunct compiles to a native
+    Catalyst predicate over the pattern scans (pushdown-eligible, no
+    UDF); the 2-constant rdf:type pattern joins broadcast-hinted."""
+    from ferenda_spark.operators.sparql import sparql_query
+    g = _lift_typed(spark, sf_dir)
+    rq = f"""
+    PREFIX dct: <{DCT}>
+    SELECT ?doc ?p ?o ?os WHERE {{
+      ?doc a <{FOAF_DOC}> ; ?p ?o .
+      BIND(str(?o) AS ?os)
+      FILTER(STRSTARTS(STR(?doc), "{BASE}res/src1")
+             && ?p IN (dct:language, dct:extent) && isLiteral(?o))
+    }}"""
+    return sparql_query(g, rq)
+
+
 def q_sparql_stats_counts(spark, sf_dir):
     """A7 stats twin through the SPARQL surface: GROUP BY aggregate
     (``SELECT ?p (COUNT(*) AS ?n) ... GROUP BY ?p``) compiled to
@@ -3598,6 +3644,33 @@ SELECT DISTINCT subj, pred, obj FROM (
   UNION ALL
   SELECT rs.part, '{DCT}isReferencedBy', rs.s FROM ref_s rs
 )
+"""
+
+ORACLE["sparql_filter_select"] = f"""
+WITH lift2 AS (
+  SELECT '{BASE}res/' || source || '/' || doc_id::VARCHAR AS subj,
+         '{RDF_TYPE}' AS pred, '{FOAF_DOC}' AS obj, TRUE AS obj_is_uri
+  FROM documents
+  UNION ALL
+  SELECT '{BASE}res/' || source || '/' || doc_id::VARCHAR,
+         '{DCT}identifier', doc_id::VARCHAR, FALSE FROM documents
+  UNION ALL
+  SELECT '{BASE}res/' || source || '/' || doc_id::VARCHAR,
+         '{DCT}language', lang, FALSE FROM documents WHERE lang IS NOT NULL
+  UNION ALL
+  SELECT '{BASE}res/' || source || '/' || doc_id::VARCHAR,
+         '{DCT}publisher', '{BASE}ext/' || source, TRUE FROM documents
+  UNION ALL
+  SELECT '{BASE}res/' || source || '/' || doc_id::VARCHAR,
+         '{DCT}extent', n_chars::VARCHAR, FALSE FROM documents
+),
+typed AS (SELECT DISTINCT subj FROM lift2
+          WHERE pred = '{RDF_TYPE}' AND obj = '{FOAF_DOC}')
+SELECT l.subj AS doc, l.pred AS p, l.obj AS o, l.obj AS os
+FROM lift2 l JOIN typed t ON l.subj = t.subj
+WHERE starts_with(l.subj, '{BASE}res/src1')
+  AND l.pred IN ('{DCT}language', '{DCT}extent')
+  AND NOT l.obj_is_uri
 """
 
 ORACLE["sparql_stats_counts"] = f"""
@@ -4934,6 +5007,7 @@ def registry_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5: SPARQL SELECT surface (construct is in the window)
         "sparql_select": q_sparql_select,
         "sparql_stats_counts": q_sparql_stats_counts,
+        "sparql_filter_select": q_sparql_filter_select,
         # round-5 window swap: stable set-ops veteran out (its
         # intersect twin was already here)
         "kg_set_diff": q_kg_set_diff,

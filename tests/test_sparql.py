@@ -29,7 +29,7 @@ def test_parse_reference_annotations_rq():
     assert [(p.s.value, p.p.value, p.o.value) for p in g.patterns] == \
         [("s", "p", "o")]
     (left, right), = g.unions
-    assert left.patterns[0].path == "*"
+    assert left.patterns[0].path == (0, None)   # isPartOf*
     assert left.patterns[0].o.value == "http://ex.org/doc/1"
     assert right.patterns[1].p.value == DCT + "references"
 
@@ -230,3 +230,253 @@ def test_broadcast_hint_for_selective_pattern(graph):
     assert [r.x for r in df.collect()] == ["http://e/d1#S1"]
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Broadcast" in plan
+
+
+# ---------------------------------------------------------------------------
+# round-5 surface: every reference template parses; the rich ones execute
+
+import glob
+
+REF_RQ_GLOB = [
+    "/root/reference/ferenda/res/sparql/*.rq",
+    "/root/reference/ferenda/sources/*/res/sparql/*.rq",
+    "/root/reference/ferenda/sources/*/*/res/sparql/*.rq",
+    "/root/reference/lagen/nu/res/sparql/*.rq",
+    "/root/reference/doc/examples/*.rq",
+]
+SUBST = {"uri": "http://e/doc/1", "context": "http://e/ctx",
+         "tempuri": "http://e/tmp/1"}
+RFC = "http://example.org/ontology/rfc/"
+RPUBL = "http://rinfo.lagrummet.se/ns/2008/11/rinfo/publ#"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def _all_reference_templates():
+    files = sorted({f for g in REF_RQ_GLOB for f in glob.glob(g)})
+    assert len(files) >= 17, files   # the reference ships 17 templates
+    return files
+
+
+def test_parse_every_reference_template():
+    """All 17 .rq templates the reference ships (core, tech, legal/se,
+    general, lagen.nu, doc/examples) parse VERBATIM after the same
+    %-substitution the reference applies (construct_annotations,
+    documentrepository.py:2471-2488)."""
+    for path in _all_reference_templates():
+        with open(path) as fp:
+            rq = fp.read() % SUBST
+        ast = parse_sparql(rq)
+        assert ast.form in ("select", "construct", "ask", "describe"), path
+        assert ast.template or ast.select_vars or ast.where.patterns \
+            or ast.where.unions, path
+
+
+def _graph4(spark, rows):
+    """(subj, pred, obj, obj_is_uri) graph for isURI-aware queries."""
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_is_uri boolean")
+
+
+def test_execute_rfc_annotations_verbatim(spark):
+    """The reference's rfc-annotations.rq (5-branch UNION, semicolon
+    lists, references+ path, BIND, FILTERs with =, !isUri, IN, !=, ||,
+    strstarts(str())) executes VERBATIM and produces exactly the
+    annotation graph the template describes."""
+    U, A, B = "http://e/rfc/10", "http://e/rfc/11", "http://e/rfc/12"
+    R, R2, X = "http://e/rfc/13", "http://e/rfc/14", "http://other/thing"
+    g = _graph4(spark, [
+        (U, DCT + "title", "Ten", False),
+        (U, RDF_TYPE, RFC + "RFC", True),
+        (A, RFC + "obsoletes", U, True),
+        (A, DCT + "title", "Eleven", False),
+        (A, DCT + "references", X, True),
+        (B, RFC + "updates", U, True),
+        (B, DCT + "title", "Twelve", False),
+        (R, DCT + "references", U, True),
+        (R, DCT + "title", "Thirteen", False),
+        (R, DCT + "references", X, True),
+        (R2, DCT + "references", R, True),
+        (R2, DCT + "title", "Fourteen", False),
+    ])
+    with open("/root/reference/ferenda/sources/tech/res/sparql/"
+              "rfc-annotations.rq") as fp:
+        rq = fp.read() % {"uri": U}
+    got = {(r.subj, r.pred, r.obj) for r in sparql_query(g, rq).collect()}
+    assert got == {
+        # branch 1: U's literal metadata only (rdf:type obj is a URI)
+        (U, DCT + "title", "Ten"),
+        # branch 2: transitive referencers' metadata, minus unrelated
+        # dcterms:references (R->X dropped, R2->R dropped: R !startswith U)
+        (R, DCT + "title", "Thirteen"),
+        (R, DCT + "references", U),
+        (R2, DCT + "title", "Fourteen"),
+        # branch 3: updater/obsoleter metadata minus their references
+        (A, RFC + "obsoletes", U),
+        (A, DCT + "title", "Eleven"),
+        (B, RFC + "updates", U),
+        (B, DCT + "title", "Twelve"),
+        # template decorations from BIND + branches 4/5
+        (U, DCT + "isReferencedBy", R),
+        (U, DCT + "isReferencedBy", R2),
+        (U, RFC + "isObsoletedBy", A),
+        (U, RFC + "isUpdatedBy", B),
+    }
+
+
+def test_execute_sfs_changes_verbatim(spark):
+    """sfs_changes.rq: predicate-object lists, variable predicate,
+    OPTIONAL group with a ; list, FILTER(STRSTARTS && IN)."""
+    uri = "http://e/sfs/1999:175"
+    C1, C2, P1, P2 = ("http://e/sfs/2000:1", "http://e/sfs/2000:2",
+                      "http://e/prop/1", "http://e/prop/2")
+    L1, L2 = uri + "#P1", uri + "#P2"
+    g = spark.createDataFrame([
+        (C1, RPUBL + "ersatter", L1),
+        (C1, DCT + "identifier", "SFS 2000:1"),
+        (C1, RPUBL + "forarbete", P1),
+        (P1, RDF_TYPE, RPUBL + "Proposition"),
+        (P1, DCT + "identifier", "Prop. 1999/2000:1"),
+        (P1, DCT + "title", "PropTitle"),
+        (C2, RPUBL + "upphaver", L2),
+        (C2, DCT + "identifier", "SFS 2000:2"),
+        (C2, RPUBL + "forarbete", P2),
+        (P2, RDF_TYPE, RPUBL + "Proposition"),
+    ], "subj string, pred string, obj string")
+    with open("/root/reference/ferenda/sources/legal/se/res/sparql/"
+              "sfs_changes.rq") as fp:
+        rq = fp.read() % {"uri": uri}
+    rows = {tuple(r) for r in sparql_query(g, rq).collect()}
+    assert rows == {
+        (C1, RPUBL + "ersatter", "SFS 2000:1", L1, P1,
+         "Prop. 1999/2000:1", "PropTitle"),
+        (C2, RPUBL + "upphaver", "SFS 2000:2", L2, P2, None, None),
+    }
+
+
+def test_execute_prop_annotations_path_quantifier(spark):
+    """prop-annotations.rq: the {,1} path quantifier and the two-
+    variable STRSTARTS(STR(?a), STR(?b)) form."""
+    U, P = "http://e/prop/1", "http://e/prop/1#S1"
+    D, DS = "http://e/dok/2", "http://e/dok/2#S3"
+    g = spark.createDataFrame([
+        (P, DCT + "isPartOf", U),
+        (DS, DCT + "isPartOf", D),
+        (DS, DCT + "references", P),
+        (D, DCT + "title", "Doc2"),
+        (U, DCT + "title", "Prop1"),
+    ], "subj string, pred string, obj string")
+    with open("/root/reference/ferenda/sources/legal/se/res/sparql/"
+              "prop-annotations.rq") as fp:
+        rq = fp.read() % {"uri": U}
+    got = {(r.subj, r.pred, r.obj) for r in sparql_query(g, rq).collect()}
+    assert got == {
+        (U, DCT + "isReferencedBy", P),      # P isPartOf U matches
+        (P, DCT + "isPartOf", U),            # ?references is ANY pred
+        (U, DCT + "title", "Prop1"),
+        (P, DCT + "isReferencedBy", DS),
+        (DS, DCT + "isPartOf", D),
+        (DS, DCT + "references", P),
+        (D, DCT + "title", "Doc2"),
+    }
+
+
+def test_execute_keyword_sfs_graph_block(spark):
+    """keyword_sfs.rq: GRAPH wrapper (transparent single-graph store),
+    nested braced group, ; list with an isPartOf* path."""
+    KW, S, DOC = ("http://e/concept/Avtal", "http://e/sfs/1#S2",
+                  "http://e/sfs/1")
+    g = spark.createDataFrame([
+        (S, DCT + "subject", KW),
+        (S, DCT + "isPartOf", DOC),
+        (S, DCT + "title", "Para 2"),
+        (DOC, DCT + "title", "Lagen"),
+    ], "subj string, pred string, obj string")
+    with open("/root/reference/lagen/nu/res/sparql/keyword_sfs.rq") as fp:
+        rq = fp.read() % {"uri": KW, "context": "http://e/ctx"}
+    rows = {tuple(r) for r in sparql_query(g, rq).collect()}
+    assert rows == {(S, S, "Para 2"), (S, DOC, "Lagen")}
+
+
+def test_is_literal_and_is_uri(spark):
+    g = _graph4(spark, [
+        ("http://e/d", DCT + "title", "Alpha", False),
+        ("http://e/d", DCT + "isPartOf", "http://e/root", True),
+    ])
+    lits = sparql_query(g, """SELECT ?o WHERE {
+        ?s ?p ?o . FILTER(isLiteral(?o)) }""").collect()
+    uris = sparql_query(g, """SELECT ?o WHERE {
+        ?s ?p ?o . FILTER(isURI(?o)) }""").collect()
+    assert [r.o for r in lits] == ["Alpha"]
+    assert [r.o for r in uris] == ["http://e/root"]
+    # subj-bound vars are URIs by RDF definition
+    n = sparql_query(g, """SELECT (COUNT(*) AS ?n) WHERE {
+        ?s ?p ?o . FILTER(isURI(?s)) }""").collect()[0].n
+    assert n == 2
+
+
+def test_is_uri_without_flag_column_raises(graph):
+    with pytest.raises(ValueError, match="obj_is_uri"):
+        sparql_query(graph, """SELECT ?o WHERE {
+            ?s ?p ?o . FILTER(isURI(?o)) }""").collect()
+
+
+def test_bind_expression_and_alias(graph):
+    rows = sparql_query(graph, """PREFIX dct: <http://purl.org/dc/terms/>
+        SELECT ?d ?u ?same WHERE {
+          ?d dct:title ?t .
+          BIND(ucase(?t) AS ?u)
+          BIND(?d AS ?same)
+          FILTER(strstarts(?t, "A"))
+        }""").collect()
+    assert [(r.d, r.u, r.same) for r in rows] == \
+        [("http://e/d1", "ALPHA", "http://e/d1")]
+
+
+def test_nary_union(graph):
+    rows = sparql_query(graph, """PREFIX dct: <http://purl.org/dc/terms/>
+        SELECT ?v WHERE {
+          { <http://e/d1> dct:title ?v }
+          UNION { <http://e/d2> dct:title ?v }
+          UNION { <http://e/d1#S1> dct:title ?v }
+        }""").collect()
+    assert sorted(r.v for r in rows) == ["Alpha", "Beta", "Section 1"]
+
+
+def test_object_list_comma(graph):
+    rows = sparql_query(graph, """PREFIX dct: <http://purl.org/dc/terms/>
+        SELECT ?d WHERE { ?d dct:title "Alpha", "Beta" }""").collect()
+    assert rows == []   # no subject carries both titles
+    rows = sparql_query(graph, """PREFIX dct: <http://purl.org/dc/terms/>
+        SELECT ?t WHERE {
+          { ?d dct:title ?t . ?d dct:title "Alpha" } }""").collect()
+    assert [r.t for r in rows] == ["Alpha"]
+
+
+def test_path_quantifier_bounds(graph):
+    # {1,1}: exactly one hop
+    rows = sparql_query(graph, """PREFIX dct: <http://purl.org/dc/terms/>
+        SELECT ?p WHERE { ?p dct:isPartOf{1,1} <http://e/d1> }""").collect()
+    assert [r.p for r in rows] == ["http://e/d1#S1"]
+    # {,2}: zero, one or two hops
+    rows = sparql_query(graph, """PREFIX dct: <http://purl.org/dc/terms/>
+        SELECT ?p WHERE { ?p dct:isPartOf{,2} <http://e/d1> }""").collect()
+    assert sorted(r.p for r in rows) == [
+        "http://e/d1", "http://e/d1#S1", "http://e/d1#S1.1"]
+
+
+def test_filter_in_and_iri_equality(graph):
+    rows = sparql_query(graph, """PREFIX dct: <http://purl.org/dc/terms/>
+        SELECT ?s ?o WHERE {
+          ?s ?p ?o .
+          FILTER(?p IN (dct:references, dct:isPartOf) && ?o != <http://e/d1>)
+        }""").collect()
+    assert sorted((r.s, r.o) for r in rows) == [
+        ("http://e/d1#S1.1", "http://e/d1#S1"),
+        ("http://e/d2", "http://e/d1#S1.1")]
+
+
+def test_offset_paging(graph):
+    page = sparql_query(graph, """PREFIX dct: <http://purl.org/dc/terms/>
+        SELECT ?t WHERE { ?d dct:title ?t }
+        ORDER BY ?t LIMIT 2 OFFSET 1""").collect()
+    assert [r.t for r in page] == ["Beta", "Section 1"]
