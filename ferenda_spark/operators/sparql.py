@@ -33,13 +33,22 @@ general, and lagen.nu), plus the common SELECT forms:
   single-graph store, the DataFrame handed in IS the named dataset
   (the reference parameterizes ``%(context)s`` per repo the same way)
 * ``BIND(expr AS ?v)`` -> withColumn at the group's position
+* ``FILTER [NOT] EXISTS { ... }`` -> left semi / left anti join on the
+  shared variables (must be correlated); ``MINUS { ... }`` -> left
+  anti join, and per SPARQL spec a MINUS sharing no variable with the
+  outer group removes nothing
+* ``VALUES ?x { ... }`` / ``VALUES (?x ?y) { (a b) ... }`` -> inline
+  literal DataFrame joined into the solution (UNDEF not supported)
 * ``FILTER (...)`` with the full expression grammar the templates
   use: ``= != < <= > >= && || !``, parentheses, ``?x IN (iri, ...)``,
   ``regex(?v,"re")``, ``bound(?v)``, ``str(x)``, ``STRSTARTS/STRENDS/
   CONTAINS(a, b)`` (either argument an expression), ``LCASE/UCASE/
   STRLEN``, ``isURI/isIRI/isLiteral(?v)`` — URI-ness is exact, read
   from the triple schema's ``obj_is_uri`` flag (operators/triples.py
-  TRIPLES_COLS), not guessed from the string
+  TRIPLES_COLS), not guessed from the string — and ``lang(?v)`` /
+  ``langMatches(lang(?v), "tag"|"*")`` read the same way from the
+  schema's ``obj_lang`` column (RFC 4647 basic filtering: exact
+  primary tag or ``tag-`` prefix, ``*`` = any tagged literal)
 * property paths ``p*`` / ``p+`` / ``p{m,n}`` (e.g. the reference's
   ``dcterms:isPartOf{,1}`` in prop-annotations.rq) — bounded closure,
   default depth 3 for the unbounded forms (the reference's part trees
@@ -93,7 +102,13 @@ _TOKEN_RE = re.compile(
     re.X | re.I)
 
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
-_SHADOW = "__isuri__"      # prefix of the per-var URI-ness shadow column
+_SHADOW = "__isuri__"       # prefix of the per-var URI-ness shadow column
+_LANG_SHADOW = "__lang__"   # prefix of the per-var language-tag column
+_SHADOW_PREFIXES = (_SHADOW, _LANG_SHADOW)
+
+
+def _is_shadow(c: str) -> bool:
+    return c.startswith(_SHADOW_PREFIXES)
 
 
 def _tokenize(q: str) -> list[str]:
@@ -131,6 +146,9 @@ class Group:
     unions: list = field(default_factory=list)     # [[Group, Group, ...]]
     filters: list = field(default_factory=list)    # [token list]
     binds: list = field(default_factory=list)      # [(expr tokens, varname)]
+    exists: list = field(default_factory=list)     # [(positive, Group)]
+    minuses: list = field(default_factory=list)    # [Group]
+    values: list = field(default_factory=list)     # [(varnames, rows)]
 
 
 @dataclass
@@ -368,7 +386,29 @@ class _Parser:
                 self.expect("}")
             elif up == "FILTER":
                 self.next()
-                g.filters.append(self._filter_tokens())
+                nt = self.peek()
+                if nt and nt.upper() == "EXISTS":
+                    self.next()
+                    self.expect("{")
+                    g.exists.append((True, self.group()))
+                    self.expect("}")
+                elif nt and nt.upper() == "NOT" \
+                        and (self.peek(1) or "").upper() == "EXISTS":
+                    self.next()
+                    self.next()
+                    self.expect("{")
+                    g.exists.append((False, self.group()))
+                    self.expect("}")
+                else:
+                    g.filters.append(self._filter_tokens())
+            elif up == "MINUS":
+                self.next()
+                self.expect("{")
+                g.minuses.append(self.group())
+                self.expect("}")
+            elif up == "VALUES":
+                self.next()
+                g.values.append(self._values())
             elif up == "BIND":
                 self.next()
                 toks = self._filter_tokens()
@@ -418,6 +458,51 @@ class _Parser:
                 g.patterns.extend(self.pattern_block())
         return g
 
+    def _values(self) -> tuple[list[str], list[tuple]]:
+        """``VALUES ?x { v... }`` or ``VALUES (?x ?y) { (vx vy)... }``."""
+        def cell() -> str:
+            t = self.term()
+            if t.kind == "var":
+                raise ValueError("sparql: VALUES data must be constants")
+            return t.value
+        if self.peek() == "(":
+            self.next()
+            names = []
+            while self.peek() != ")":
+                v = self.next()
+                if not v.startswith("?"):
+                    if v.upper() == "UNDEF":
+                        raise ValueError("sparql: VALUES UNDEF unsupported")
+                    raise ValueError(f"sparql: VALUES expects ?vars, got {v!r}")
+                names.append(v[1:])
+            self.next()
+            self.expect("{")
+            rows = []
+            while self.peek() == "(":
+                self.next()
+                row = []
+                while self.peek() != ")":
+                    if (self.peek() or "").upper() == "UNDEF":
+                        raise ValueError("sparql: VALUES UNDEF unsupported")
+                    row.append(cell())
+                self.next()
+                if len(row) != len(names):
+                    raise ValueError("sparql: VALUES row arity mismatch")
+                rows.append(tuple(row))
+            self.expect("}")
+            return names, rows
+        v = self.next()
+        if not v.startswith("?"):
+            raise ValueError(f"sparql: VALUES expects a ?var, got {v!r}")
+        self.expect("{")
+        rows = []
+        while self.peek() != "}":
+            if (self.peek() or "").upper() == "UNDEF":
+                raise ValueError("sparql: VALUES UNDEF unsupported")
+            rows.append((cell(),))
+        self.next()
+        return [v[1:]], rows
+
     @staticmethod
     def _merge(g: Group, sub: Group) -> None:
         g.patterns.extend(sub.patterns)
@@ -425,6 +510,9 @@ class _Parser:
         g.unions.extend(sub.unions)
         g.filters.extend(sub.filters)
         g.binds.extend(sub.binds)
+        g.exists.extend(sub.exists)
+        g.minuses.extend(sub.minuses)
+        g.values.extend(sub.values)
 
     def _filter_tokens(self) -> list[str]:
         """Collect the parenthesized token list of a FILTER/BIND,
@@ -539,15 +627,17 @@ class _ExprCompiler:
             raise ValueError(f"sparql: FILTER on unbound ?{v}")
         return f"`{v}`"
 
-    def _shadow(self, t: str) -> str:
+    def _shadow(self, t: str, prefix: str = _SHADOW) -> str:
         v = t[1:]
         if v not in self.cols:
             raise ValueError(f"sparql: FILTER on unbound ?{v}")
-        sh = _SHADOW + v
+        sh = prefix + v
         if sh not in self.cols:
+            what = ("obj_is_uri (isURI/isLiteral)" if prefix == _SHADOW
+                    else "obj_lang (lang/langMatches)")
             raise ValueError(
-                f"sparql: isURI/isLiteral needs the obj_is_uri column "
-                f"in the triples DataFrame (missing for ?{v})")
+                f"sparql: {what} needs its column in the triples "
+                f"DataFrame (missing for ?{v})")
         return f"`{sh}`"
 
     def value(self) -> str:
@@ -594,6 +684,28 @@ class _ExprCompiler:
             v, sh = self._var_col(vt), self._shadow(vt)
             self.expect(")")
             return f"({v} IS NOT NULL AND NOT coalesce({sh}, false))"
+        if low == "lang":
+            # SPARQL lang() returns "" for plain literals and IRIs
+            self.expect("(")
+            sh = self._shadow(self.next(), _LANG_SHADOW)
+            self.expect(")")
+            return f"coalesce({sh}, '')"
+        if low == "langmatches":
+            # RFC 4647 basic filtering: '*' = any non-empty tag,
+            # otherwise exact primary tag or 'tag-' prefix
+            self.expect("(")
+            rng = self.or_expr()
+            self.expect(",")
+            tag = self.next()
+            if not tag.startswith('"'):
+                raise ValueError(
+                    "sparql: langMatches needs a literal range")
+            self.expect(")")
+            t = tag[1:-1].replace("'", "''").lower()
+            if t == "*":
+                return f"({rng} <> '')"
+            return (f"(lower({rng}) = '{t}' OR "
+                    f"startswith(lower({rng}), '{t}-'))")
         if low in _FUNCS_2:
             self.expect("(")
             a = self.value()
@@ -613,27 +725,36 @@ def _filter_expr(toks: list[str], cols: set[str]) -> Column:
     return F.expr(_ExprCompiler(toks, cols).compile())
 
 
-def _uses_shadows(g: Group) -> bool:
-    """Does any FILTER/BIND in this group tree call isURI/isLiteral?"""
+def _uses_shadows(g: Group) -> frozenset:
+    """Which shadow-column kinds ('isuri', 'lang') do the FILTER/BIND
+    expressions in this group tree need?"""
+    kinds = set()
     for toks in g.filters + [b[0] for b in g.binds]:
-        if any(t.lower() in ("isuri", "isiri", "isliteral") for t in toks):
-            return True
-    return (any(_uses_shadows(o) for o in g.optionals)
-            or any(_uses_shadows(b) for bs in g.unions for b in bs))
+        for t in toks:
+            low = t.lower()
+            if low in ("isuri", "isiri", "isliteral"):
+                kinds.add("isuri")
+            elif low in ("lang", "langmatches"):
+                kinds.add("lang")
+    for sub in (g.optionals + g.minuses + [e[1] for e in g.exists]
+                + [b for bs in g.unions for b in bs]):
+        kinds |= _uses_shadows(sub)
+    return frozenset(kinds)
 
 
 # ---------------------------------------------------------------------------
 # compilation
 
 def _pattern_df(triples: DataFrame, pat: Pattern, max_path_depth: int,
-                shadows: bool) -> tuple[DataFrame, int]:
+                kinds: frozenset) -> tuple[DataFrame, int]:
     """One triple pattern -> (projected scan keyed by its variable
     columns, n_bound_constants).  Constants become pushdown filters.
-    With ``shadows``, each var also gets a boolean ``__isuri__<var>``
-    column: True for subj/pred bindings (always IRIs in RDF), the
-    table's obj_is_uri flag for obj bindings."""
+    Each requested shadow kind adds a per-var column: ``__isuri__v``
+    (True for subj/pred bindings — always IRIs in RDF — else the
+    table's obj_is_uri flag) and ``__lang__v`` (obj_lang for obj
+    bindings, NULL otherwise)."""
     if pat.path:
-        return _path_df(triples, pat, max_path_depth, shadows)
+        return _path_df(triples, pat, max_path_depth, kinds)
     df = triples
     n_bound = 0
     sel: dict[str, str] = {}  # var -> source column
@@ -647,15 +768,19 @@ def _pattern_df(triples: DataFrame, pat: Pattern, max_path_depth: int,
             df = df.where(F.col(col) == term.value)
             n_bound += 1
     cols = [F.col(c).alias(v) for v, c in sel.items()]
-    if shadows:
-        for v, c in sel.items():
+    for v, c in sel.items():
+        if "isuri" in kinds:
             cols.append((F.col("obj_is_uri") if c == "obj"
                          else F.lit(True)).alias(_SHADOW + v))
+        if "lang" in kinds:
+            cols.append((F.col("obj_lang") if c == "obj"
+                         else F.lit(None).cast("string"))
+                        .alias(_LANG_SHADOW + v))
     return df.select(*cols), n_bound
 
 
 def _path_df(triples: DataFrame, pat: Pattern, max_path_depth: int,
-             shadows: bool) -> tuple[DataFrame, int]:
+             kinds: frozenset) -> tuple[DataFrame, int]:
     """``?s p* ?o`` / ``p+`` / ``p{m,n}``: bounded closure of the
     p-edge subset.  Zero-length paths (min 0) mean every node reaches
     itself — for a constant endpoint that is just the constant row;
@@ -709,27 +834,30 @@ def _path_df(triples: DataFrame, pat: Pattern, max_path_depth: int,
             df = df.where(F.col(col) == term.value)
             n_bound += 1
     cols = [F.col(c).alias(v) for v, c in sel.items()]
-    if shadows:
-        # path endpoints are IRIs by construction (part-tree edges)
+    # path endpoints are IRIs by construction (part-tree edges)
+    if "isuri" in kinds:
         cols += [F.lit(True).alias(_SHADOW + v) for v in sel]
+    if "lang" in kinds:
+        cols += [F.lit(None).cast("string").alias(_LANG_SHADOW + v)
+                 for v in sel]
     return df.select(*cols), n_bound
 
 
 def _var_cols(cols) -> list[str]:
-    return [c for c in cols if not c.startswith(_SHADOW)]
+    return [c for c in cols if not _is_shadow(c)]
 
 
 def _drop_dup_shadows(df: DataFrame, sol_cols: set[str]) -> DataFrame:
-    dups = [c for c in df.columns
-            if c.startswith(_SHADOW) and c in sol_cols]
+    dups = [c for c in df.columns if _is_shadow(c) and c in sol_cols]
     return df.drop(*dups) if dups else df
 
 
 def _join_patterns(triples: DataFrame, pats: list[Pattern],
-                   max_path_depth: int, shadows: bool) -> DataFrame | None:
+                   max_path_depth: int, kinds: frozenset,
+                   ) -> DataFrame | None:
     if not pats:
         return None
-    scans = [_pattern_df(triples, p, max_path_depth, shadows) for p in pats]
+    scans = [_pattern_df(triples, p, max_path_depth, kinds) for p in pats]
     # selectivity-ordered greedy join: start from the most
     # constant-bound scan, always extend with a scan sharing a variable
     order = sorted(range(len(scans)), key=lambda i: -scans[i][1])
@@ -771,7 +899,7 @@ def _null_pad(df: DataFrame, cols: list[str]) -> DataFrame:
 
 
 def _apply_bind(sol: DataFrame, toks: list[str], var: str,
-                shadows: bool) -> DataFrame:
+                kinds: frozenset) -> DataFrame:
     if var in sol.columns:
         raise ValueError(f"sparql: BIND would rebind ?{var}")
     if len(toks) == 1 and toks[0].startswith("?"):   # alias a variable
@@ -779,27 +907,37 @@ def _apply_bind(sol: DataFrame, toks: list[str], var: str,
         if src not in sol.columns:
             raise ValueError(f"sparql: BIND of unbound ?{src}")
         sol = sol.withColumn(var, F.col(src))
-        if shadows:
-            sh = _SHADOW + src
-            sol = sol.withColumn(
-                _SHADOW + var,
-                F.col(sh) if sh in sol.columns else F.lit(None)
-                .cast("boolean"))
+        for kind, prefix, typ in (("isuri", _SHADOW, "boolean"),
+                                  ("lang", _LANG_SHADOW, "string")):
+            if kind in kinds:
+                sh = prefix + src
+                sol = sol.withColumn(
+                    prefix + var,
+                    F.col(sh) if sh in sol.columns
+                    else F.lit(None).cast(typ))
         return sol
     expr = _ExprCompiler(toks, set(sol.columns)).compile()
     sol = sol.withColumn(var, F.expr(expr))
-    if shadows:
+    if "isuri" in kinds:
         # a computed value is a literal unless it is a single IRI token
         is_iri = len(toks) == 1 and toks[0].startswith("<")
         sol = sol.withColumn(_SHADOW + var, F.lit(bool(is_iri)))
+    if "lang" in kinds:   # computed values carry no language tag
+        sol = sol.withColumn(_LANG_SHADOW + var,
+                             F.lit(None).cast("string"))
     return sol
 
 
+def _values_df(spark, names: list[str], rows: list[tuple]) -> DataFrame:
+    schema = ", ".join(f"`{n}` string" for n in names)
+    return spark.createDataFrame(rows, schema)
+
+
 def _compile_group(triples: DataFrame, g: Group, max_path_depth: int,
-                   shadows: bool) -> DataFrame | None:
-    sol = _join_patterns(triples, g.patterns, max_path_depth, shadows)
+                   kinds: frozenset) -> DataFrame | None:
+    sol = _join_patterns(triples, g.patterns, max_path_depth, kinds)
     for branches in g.unions:
-        dfs = [_compile_group(triples, b, max_path_depth, shadows)
+        dfs = [_compile_group(triples, b, max_path_depth, kinds)
                for b in branches]
         if any(d is None for d in dfs):
             raise ValueError("sparql: empty UNION branch")
@@ -818,17 +956,47 @@ def _compile_group(triples: DataFrame, g: Group, max_path_depth: int,
     for opt in g.optionals:
         if sol is None:
             raise ValueError("sparql: OPTIONAL without a base pattern")
-        odf = _compile_group(triples, opt, max_path_depth, shadows)
+        odf = _compile_group(triples, opt, max_path_depth, kinds)
         if odf is None:
             continue
         shared = [c for c in _var_cols(odf.columns) if c in sol.columns]
         odf = _drop_dup_shadows(odf, set(sol.columns))
         sol = sol.join(odf, on=shared, how="left") if shared \
             else sol.crossJoin(odf)
+    for names, rows in g.values:
+        vdf = _values_df(triples.sparkSession, names, rows)
+        if sol is None:
+            sol = vdf
+            continue
+        shared = [c for c in names if c in sol.columns]
+        # an inline table is tiny by construction => broadcast
+        sol = sol.join(F.broadcast(vdf), on=shared) if shared \
+            else sol.crossJoin(F.broadcast(vdf))
     for toks, var in g.binds:
         if sol is None:
             raise ValueError("sparql: BIND without a base pattern")
-        sol = _apply_bind(sol, toks, var, shadows)
+        sol = _apply_bind(sol, toks, var, kinds)
+    for positive, eg in g.exists:
+        if sol is None:
+            raise ValueError("sparql: EXISTS without a base pattern")
+        edf = _compile_group(triples, eg, max_path_depth, kinds)
+        shared = [c for c in _var_cols(edf.columns) if c in sol.columns]
+        if not shared:
+            raise ValueError(
+                "sparql: [NOT] EXISTS must share a variable with the "
+                "outer group")
+        edf = edf.select(*shared).dropDuplicates()
+        sol = sol.join(edf, on=shared,
+                       how="left_semi" if positive else "left_anti")
+    for mg in g.minuses:
+        if sol is None:
+            raise ValueError("sparql: MINUS without a base pattern")
+        mdf = _compile_group(triples, mg, max_path_depth, kinds)
+        shared = [c for c in _var_cols(mdf.columns) if c in sol.columns]
+        if not shared:
+            continue   # SPARQL spec: disjoint MINUS removes nothing
+        sol = sol.join(mdf.select(*shared).dropDuplicates(),
+                       on=shared, how="left_anti")
     for ftoks in g.filters:
         sol = sol.where(_filter_expr(ftoks, set(sol.columns)))
     return sol
@@ -844,23 +1012,24 @@ def sparql_query(triples: DataFrame, query: str,
     solution, deduplicated (a CONSTRUCT result is a GRAPH — set
     semantics, like the reference's rdflib Graph result)."""
     ast = parse_sparql(query)
-    shadows = _uses_shadows(ast.where)
+    kinds = _uses_shadows(ast.where)
     base = ["subj", "pred", "obj"]
-    if shadows:
-        if "obj_is_uri" not in triples.columns:
-            raise ValueError(
-                "sparql: isURI/isLiteral need the obj_is_uri column in "
-                "the triples DataFrame (operators/triples.py TRIPLES_COLS)")
-        t = triples.select(*base, "obj_is_uri")
-    else:
-        t = triples.select(*base)
+    need = list(base)
+    for kind, col in (("isuri", "obj_is_uri"), ("lang", "obj_lang")):
+        if kind in kinds:
+            if col not in triples.columns:
+                raise ValueError(
+                    f"sparql: this query needs the {col} column in the "
+                    "triples DataFrame (operators/triples.py TRIPLES_COLS)")
+            need.append(col)
+    t = triples.select(*need)
     if ast.form == "describe":
         # all triples where the IRI is subject, plus inbound edges
         uris = ast.select_vars
         return (t.select(*base)
                 .where(F.col("subj").isin(uris) | F.col("obj").isin(uris))
                 .dropDuplicates())
-    sol = _compile_group(t, ast.where, max_path_depth, shadows)
+    sol = _compile_group(t, ast.where, max_path_depth, kinds)
     if sol is None:
         raise ValueError("sparql: empty WHERE group")
     if ast.form == "ask":

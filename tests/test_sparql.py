@@ -480,3 +480,83 @@ def test_offset_paging(graph):
         SELECT ?t WHERE { ?d dct:title ?t }
         ORDER BY ?t LIMIT 2 OFFSET 1""").collect()
     assert [r.t for r in page] == ["Beta", "Section 1"]
+
+
+# ---------------------------------------------------------------------------
+# EXISTS / NOT EXISTS / MINUS / VALUES / lang()
+
+def test_filter_not_exists_and_exists(graph):
+    base = """PREFIX dct: <http://purl.org/dc/terms/>
+        SELECT ?d WHERE {
+          ?d <rdf:type> "foaf:Document" .
+          FILTER %s EXISTS { ?d dct:references ?r }
+        }"""
+    without = sparql_query(graph, base % "NOT").collect()
+    with_ = sparql_query(graph, base % "").collect()
+    assert [r.d for r in without] == ["http://e/d1"]
+    assert [r.d for r in with_] == ["http://e/d2"]
+
+
+def test_minus_shared_and_disjoint(graph):
+    rows = sparql_query(graph, """PREFIX dct: <http://purl.org/dc/terms/>
+        SELECT ?d WHERE {
+          ?d <rdf:type> "foaf:Document" .
+          MINUS { ?d dct:title "Beta" }
+        }""").collect()
+    assert [r.d for r in rows] == ["http://e/d1"]
+    # spec: a MINUS sharing no variable with the outer group removes nothing
+    rows = sparql_query(graph, """PREFIX dct: <http://purl.org/dc/terms/>
+        SELECT ?d WHERE {
+          ?d <rdf:type> "foaf:Document" .
+          MINUS { ?x dct:title "Beta" }
+        }""").collect()
+    assert sorted(r.d for r in rows) == ["http://e/d1", "http://e/d2"]
+
+
+def test_values_single_and_multi(graph):
+    rows = sparql_query(graph, """PREFIX dct: <http://purl.org/dc/terms/>
+        SELECT ?d ?t WHERE {
+          ?d dct:title ?t .
+          VALUES ?d { <http://e/d1> <http://e/d1#S1> }
+        }""").collect()
+    assert sorted((r.d, r.t) for r in rows) == [
+        ("http://e/d1", "Alpha"), ("http://e/d1#S1", "Section 1")]
+    rows = sparql_query(graph, """PREFIX dct: <http://purl.org/dc/terms/>
+        SELECT ?d ?t WHERE {
+          ?d dct:title ?t .
+          VALUES (?d ?t) { (<http://e/d1> "Alpha") (<http://e/d2> "Nope") }
+        }""").collect()
+    assert [(r.d, r.t) for r in rows] == [("http://e/d1", "Alpha")]
+
+
+def test_values_undef_rejected():
+    with pytest.raises(ValueError, match="UNDEF"):
+        parse_sparql("""SELECT ?x WHERE {
+            ?x ?p ?o . VALUES ?x { UNDEF } }""")
+
+
+def test_lang_and_langmatches(spark):
+    g = spark.createDataFrame([
+        ("http://e/d", DCT + "title", "Lagen", "sv"),
+        ("http://e/d", DCT + "title", "The Act", "en-GB"),
+        ("http://e/d", DCT + "identifier", "1999:175", None),
+    ], "subj string, pred string, obj string, obj_lang string")
+    sv = sparql_query(g, """SELECT ?o WHERE {
+        ?s ?p ?o . FILTER(lang(?o) = "sv") }""").collect()
+    assert [r.o for r in sv] == ["Lagen"]
+    # RFC 4647 basic filtering: 'en' matches 'en-GB'
+    en = sparql_query(g, """SELECT ?o WHERE {
+        ?s ?p ?o . FILTER(langMatches(lang(?o), "en")) }""").collect()
+    assert [r.o for r in en] == ["The Act"]
+    tagged = sparql_query(g, """SELECT ?o WHERE {
+        ?s ?p ?o . FILTER(langMatches(lang(?o), "*")) }""").collect()
+    assert sorted(r.o for r in tagged) == ["Lagen", "The Act"]
+    plain = sparql_query(g, """SELECT ?o WHERE {
+        ?s ?p ?o . FILTER(lang(?o) = "") }""").collect()
+    assert [r.o for r in plain] == ["1999:175"]
+
+
+def test_lang_without_column_raises(graph):
+    with pytest.raises(ValueError, match="obj_lang"):
+        sparql_query(graph, """SELECT ?o WHERE {
+            ?s ?p ?o . FILTER(lang(?o) = "sv") }""").collect()
