@@ -17,8 +17,11 @@ general, and lagen.nu), plus the common SELECT forms:
 * ``SELECT ?v ... WHERE { ... }`` (incl. ``*``), ``DISTINCT``,
   ``ORDER BY``, ``LIMIT``, ``OFFSET``
 * aggregates ``(COUNT([DISTINCT] ?v|*) AS ?n)`` / SUM / MIN / MAX /
-  AVG with ``GROUP BY`` -> groupBy().agg() (map-side partial
-  aggregation for free)
+  AVG / SAMPLE / ``GROUP_CONCAT(?v; SEPARATOR="...")`` with
+  ``GROUP BY`` -> groupBy().agg() (map-side partial aggregation for
+  free) and ``HAVING`` over the aggregate aliases (GROUP_CONCAT sorts
+  its values — SPARQL leaves the order unspecified, a deterministic
+  result is oracle-comparable)
 * ``CONSTRUCT { template } WHERE { ... }`` -> a (subj, pred, obj)
   DataFrame (one union branch per template pattern)
 * ``ASK { ... }`` -> one boolean ``answer`` row;
@@ -153,10 +156,11 @@ class Group:
 
 @dataclass
 class Agg:
-    func: str        # count | sum | min | max | avg
+    func: str        # count | sum | min | max | avg | sample | group_concat
     var: str | None  # None = COUNT(*)
     alias: str
     distinct: bool = False
+    sep: str = " "   # GROUP_CONCAT separator
 
 
 @dataclass
@@ -171,6 +175,7 @@ class Query:
     aggs: list[Agg] = field(default_factory=list)
     group_by: list[str] = field(default_factory=list)
     offset: int | None = None
+    having: list = field(default_factory=list)   # [token list]
 
 
 class _Parser:
@@ -270,6 +275,7 @@ class _Parser:
         group_by: list[str] = []
         limit = None
         offset = None
+        having: list = []
         while self.peek():
             t = self.next().upper()
             if t == "GROUP":
@@ -294,14 +300,18 @@ class _Parser:
                 limit = int(self.next())
             elif t == "OFFSET":
                 offset = int(self.next())
+            elif t == "HAVING":
+                having.append(self._filter_tokens())
             else:
                 raise ValueError(f"sparql: unexpected trailing {t!r}")
         return Query(form.lower(), select_vars, distinct, template,
-                     where, order_by, limit, aggs, group_by, offset)
+                     where, order_by, limit, aggs, group_by, offset,
+                     having)
 
     def _agg(self) -> Agg:
         func = self.next().lower()
-        if func not in ("count", "sum", "min", "max", "avg"):
+        if func not in ("count", "sum", "min", "max", "avg", "sample",
+                        "group_concat"):
             raise ValueError(f"sparql: unsupported aggregate {func!r}")
         self.expect("(")
         adist = False
@@ -310,6 +320,18 @@ class _Parser:
             adist = True
         v = self.next()
         var = None if v == "*" else v[1:]
+        sep = " "
+        if func == "group_concat" and self.peek() == ";":
+            self.next()
+            kw = self.next()
+            if kw.upper() != "SEPARATOR":
+                raise ValueError(
+                    f"sparql: expected SEPARATOR, got {kw!r}")
+            self.expect("=")
+            lit = self.next()
+            if not lit.startswith('"'):
+                raise ValueError("sparql: SEPARATOR needs a literal")
+            sep = lit[1:-1].replace('\\"', '"')
         self.expect(")")
         as_kw = self.next()
         if as_kw.upper() != "AS":
@@ -318,7 +340,7 @@ class _Parser:
         if not alias.startswith("?"):
             raise ValueError("sparql: aggregate alias must be a ?var")
         self.expect(")")
-        return Agg(func, var, alias[1:], adist)
+        return Agg(func, var, alias[1:], adist, sep)
 
     def pattern_list(self) -> list[Pattern]:
         pats: list[Pattern] = []
@@ -1048,15 +1070,29 @@ def sparql_query(triples: DataFrame, query: str,
                     else:
                         e = F.count(F.col(a.var))
                     e = e.cast("long")
+                elif a.func == "sample":
+                    if a.distinct:
+                        raise ValueError(
+                            "sparql: DISTINCT SAMPLE is meaningless")
+                    e = F.first(F.col(a.var), ignorenulls=True)
+                elif a.func == "group_concat":
+                    # SPARQL leaves the order unspecified; sort for a
+                    # deterministic (and oracle-comparable) result
+                    vals = F.collect_set(F.col(a.var)) if a.distinct \
+                        else F.collect_list(F.col(a.var))
+                    e = F.array_join(F.array_sort(vals), a.sep)
                 else:
                     if a.distinct:
                         raise ValueError(
-                            "sparql: DISTINCT only supported in COUNT")
+                            "sparql: DISTINCT only supported in COUNT/"
+                            "GROUP_CONCAT")
                     e = getattr(F, a.func)(F.col(a.var))
                 exprs.append(e.alias(a.alias))
             grouped = sol.groupBy(*ast.group_by) if ast.group_by \
                 else sol.groupBy()
             out = grouped.agg(*exprs)
+            for htoks in ast.having:
+                out = out.where(_filter_expr(htoks, set(out.columns)))
             proj = (ast.select_vars or ast.group_by) + \
                 [a.alias for a in ast.aggs]
             out = out.select(*proj)

@@ -560,3 +560,20 @@ def test_lang_without_column_raises(graph):
     with pytest.raises(ValueError, match="obj_lang"):
         sparql_query(graph, """SELECT ?o WHERE {
             ?s ?p ?o . FILTER(lang(?o) = "sv") }""").collect()
+
+
+def test_group_concat_sample_having(graph):
+    rows = {r.s: r.os for r in sparql_query(
+        graph, """PREFIX dct: <http://purl.org/dc/terms/>
+        SELECT ?s (GROUP_CONCAT(?o; SEPARATOR="|") AS ?os)
+        WHERE { ?s ?p ?o } GROUP BY ?s HAVING(?s != "x")""").collect()}
+    assert rows["http://e/d1"] == "Alpha|foaf:Document"
+    assert rows["http://e/d2"] == "Beta|foaf:Document|http://e/d1#S1.1"
+    row, = sparql_query(graph, """PREFIX dct: <http://purl.org/dc/terms/>
+        SELECT (SAMPLE(?t) AS ?any) (COUNT(*) AS ?n)
+        WHERE { ?s dct:title ?t }""").collect()
+    assert row.n == 3 and row.any in ("Alpha", "Beta", "Section 1")
+    # HAVING prunes groups by aggregate value
+    rows = sparql_query(graph, """SELECT ?s (COUNT(*) AS ?n)
+        WHERE { ?s ?p ?o } GROUP BY ?s HAVING(?n >= 3)""").collect()
+    assert [(r.s, r.n) for r in rows] == [("http://e/d2", 3)]
