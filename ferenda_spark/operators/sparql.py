@@ -52,11 +52,15 @@ general, and lagen.nu), plus the common SELECT forms:
   ``langMatches(lang(?v), "tag"|"*")`` read the same way from the
   schema's ``obj_lang`` column (RFC 4647 basic filtering: exact
   primary tag or ``tag-`` prefix, ``*`` = any tagged literal)
-* property paths ``p*`` / ``p+`` / ``p{m,n}`` (e.g. the reference's
-  ``dcterms:isPartOf{,1}`` in prop-annotations.rq) — bounded closure,
-  default depth 3 for the unbounded forms (the reference's part trees
-  nest S / S.1 / S.1.1, same bound as
-  operators/canonicalize.annotation_closure)
+* property paths: quantifiers ``p*`` / ``p+`` / ``p?`` / ``p{m,n}``
+  (e.g. the reference's ``dcterms:isPartOf{,1}`` in
+  prop-annotations.rq), sequence ``p1/p2``, inverse ``^p``,
+  alternation ``p1|p2`` and parenthesized combinations with
+  quantifiers — bounded closure, default depth 3 for the unbounded
+  forms (the reference's part trees nest S / S.1 / S.1.1, same bound
+  as operators/canonicalize.annotation_closure).  Zero-length paths
+  range over the nodes of the path's own edge subgraph (documented
+  deviation from the spec's all-terms domain)
 
 Spark shape / scale notes:
 
@@ -100,7 +104,7 @@ _TOKEN_RE = re.compile(
         |FILTER|BIND|GRAPH|DISTINCT|ORDER|BY|LIMIT|OFFSET|ASC|DESC|a)
         (?![A-Za-z0-9_]))
     | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)   # FILTER function names, AS, IN
-    | (?P<punct>&&|\|\||!=|<=|>=|[{}().;,*+=<>!])
+    | (?P<punct>&&|\|\||!=|<=|>=|[{}().;,*+=<>!/^?|])
     )""",
     re.X | re.I)
 
@@ -137,9 +141,29 @@ class Term:
 @dataclass
 class Pattern:
     s: Term
-    p: Term
+    p: Term     # kind 'iri'/'var', or 'path' with value = a PathAlt
     o: Term
     path: tuple[int, int | None] | None = None  # (min, max); max None = default
+
+
+@dataclass
+class PathElt:
+    """One path element: a predicate IRI or a parenthesized
+    subexpression, optionally inverted and/or quantified."""
+    iri: str | None = None
+    inverse: bool = False
+    quant: tuple[int, int | None] | None = None
+    group: "PathAlt | None" = None
+
+
+@dataclass
+class PathSeq:
+    elts: list    # [PathElt]
+
+
+@dataclass
+class PathAlt:
+    seqs: list    # [PathSeq]
 
 
 @dataclass
@@ -358,6 +382,9 @@ class _Parser:
         if t == "+":
             self.next()
             return (1, None)
+        if t == "?":
+            self.next()
+            return (0, 1)
         if t == "{":
             # {m,n} / {,n} / {m,} — SPARQL 1.1 draft quantifiers the
             # reference uses (prop-annotations.rq 'isPartOf{,1}')
@@ -373,6 +400,51 @@ class _Parser:
             return (lo, hi)
         return None
 
+    def _path_elt(self) -> PathElt:
+        inv = False
+        if self.peek() == "^":
+            self.next()
+            inv = True
+        if self.peek() == "(":
+            self.next()
+            alt = self._path_alt()
+            self.expect(")")
+            return PathElt(None, inv, self._path_quant(), alt)
+        t = self.term()
+        if t.kind != "iri":
+            raise ValueError(
+                "sparql: property path elements must be IRIs")
+        return PathElt(t.value, inv, self._path_quant())
+
+    def _path_seq(self, first: PathElt | None = None) -> PathSeq:
+        elts = [first if first is not None else self._path_elt()]
+        while self.peek() == "/":
+            self.next()
+            elts.append(self._path_elt())
+        return PathSeq(elts)
+
+    def _path_alt(self, first: PathElt | None = None) -> PathAlt:
+        seqs = [self._path_seq(first)]
+        while self.peek() == "|":
+            self.next()
+            seqs.append(self._path_seq())
+        return PathAlt(seqs)
+
+    def _pred(self) -> tuple[Term, tuple | None]:
+        """The predicate position: a var, a bare (possibly quantified)
+        IRI — the fast scan path — or a full path expression."""
+        if self.peek() in ("^", "("):
+            return Term("path", self._path_alt()), None
+        p = self.term()
+        quant = self._path_quant()
+        if self.peek() in ("/", "|"):
+            if p.kind != "iri":
+                raise ValueError(
+                    "sparql: property path elements must be IRIs")
+            first = PathElt(p.value, False, quant)
+            return Term("path", self._path_alt(first)), None
+        return p, quant
+
     def pattern_block(self) -> list[Pattern]:
         """One subject's statements: ``s p1 o1a, o1b ; p2 o2`` ->
         patterns sharing the subject (``;`` predicate-object lists and
@@ -380,8 +452,7 @@ class _Parser:
         s = self.term()
         pats: list[Pattern] = []
         while True:
-            p = self.term()
-            path = self._path_quant()
+            p, path = self._pred()
             pats.append(Pattern(s, p, self.term(), path))
             while self.peek() == ",":
                 self.next()
@@ -775,6 +846,8 @@ def _pattern_df(triples: DataFrame, pat: Pattern, max_path_depth: int,
     (True for subj/pred bindings — always IRIs in RDF — else the
     table's obj_is_uri flag) and ``__lang__v`` (obj_lang for obj
     bindings, NULL otherwise)."""
+    if pat.p.kind == "path":
+        return _complex_path_df(triples, pat, max_path_depth, kinds)
     if pat.path:
         return _path_df(triples, pat, max_path_depth, kinds)
     df = triples
@@ -857,6 +930,104 @@ def _path_df(triples: DataFrame, pat: Pattern, max_path_depth: int,
             n_bound += 1
     cols = [F.col(c).alias(v) for v, c in sel.items()]
     # path endpoints are IRIs by construction (part-tree edges)
+    if "isuri" in kinds:
+        cols += [F.lit(True).alias(_SHADOW + v) for v in sel]
+    if "lang" in kinds:
+        cols += [F.lit(None).cast("string").alias(_LANG_SHADOW + v)
+                 for v in sel]
+    return df.select(*cols), n_bound
+
+
+def _edge_nodes(edges: DataFrame) -> DataFrame:
+    return (edges.select(F.col("_s").alias("n"))
+            .unionByName(edges.select(F.col("_o").alias("n")))
+            .dropDuplicates())
+
+
+def _edge_closure(edges: DataFrame, lo: int, hi: int) -> DataFrame:
+    """Paths of length max(lo,1)..hi over an (_s,_o) edge set; a
+    zero-length component (lo == 0) is the identity over the edge
+    subgraph's node set."""
+    closure = edges if lo <= 1 and hi >= 1 else None
+    frontier = edges
+    for length in range(2, hi + 1):
+        frontier = (frontier.alias("f")
+                    .join(edges.alias("e"),
+                          F.col("f._o") == F.col("e._s"))
+                    .select(F.col("f._s").alias("_s"),
+                            F.col("e._o").alias("_o")))
+        if length >= lo:
+            closure = frontier if closure is None \
+                else closure.unionByName(frontier).dropDuplicates()
+    if lo == 0:
+        zero = _edge_nodes(edges).select(F.col("n").alias("_s"),
+                                         F.col("n").alias("_o"))
+        closure = zero if closure is None \
+            else closure.unionByName(zero).dropDuplicates()
+    if closure is None:
+        raise ValueError(f"sparql: empty path quantifier {{{lo},{hi}}}")
+    return closure
+
+
+def _elt_edges(triples: DataFrame, elt: PathElt,
+               max_path_depth: int) -> DataFrame:
+    if elt.group is not None:
+        base = _alt_edges(triples, elt.group, max_path_depth)
+    else:
+        base = (triples.where(F.col("pred") == elt.iri)
+                .select(F.col("subj").alias("_s"),
+                        F.col("obj").alias("_o"))
+                .dropDuplicates())
+    if elt.inverse:
+        base = base.select(F.col("_o").alias("_s"),
+                           F.col("_s").alias("_o"))
+    if elt.quant is not None:
+        lo, hi = elt.quant
+        base = _edge_closure(base, lo,
+                             max_path_depth if hi is None else hi)
+    return base
+
+
+def _alt_edges(triples: DataFrame, alt: PathAlt,
+               max_path_depth: int) -> DataFrame:
+    """A path expression -> its (_s, _o) edge DataFrame: sequences are
+    chained joins (_o -> _s), alternatives union."""
+    seq_dfs = []
+    for seq in alt.seqs:
+        df = None
+        for elt in seq.elts:
+            e = _elt_edges(triples, elt, max_path_depth)
+            df = e if df is None else (
+                df.alias("l")
+                .join(e.alias("r"), F.col("l._o") == F.col("r._s"))
+                .select(F.col("l._s").alias("_s"),
+                        F.col("r._o").alias("_o")))
+        seq_dfs.append(df)
+    out = seq_dfs[0]
+    for d in seq_dfs[1:]:
+        out = out.unionByName(d)
+    return out.dropDuplicates()
+
+
+def _complex_path_df(triples: DataFrame, pat: Pattern,
+                     max_path_depth: int, kinds: frozenset,
+                     ) -> tuple[DataFrame, int]:
+    """A pattern whose predicate is a path EXPRESSION (sequence /
+    inverse / alternation): compile the expression to an edge set,
+    then bind the endpoints like the simple-path case."""
+    df = _alt_edges(triples, pat.p.value, max_path_depth)
+    n_bound = 0
+    sel: dict[str, str] = {}
+    for term, col in ((pat.s, "_s"), (pat.o, "_o")):
+        if term.kind == "var":
+            if term.value in sel:
+                df = df.where(F.col(col) == F.col(sel[term.value]))
+            else:
+                sel[term.value] = col
+        else:
+            df = df.where(F.col(col) == term.value)
+            n_bound += 1
+    cols = [F.col(c).alias(v) for v, c in sel.items()]
     if "isuri" in kinds:
         cols += [F.lit(True).alias(_SHADOW + v) for v in sel]
     if "lang" in kinds:

@@ -577,3 +577,64 @@ def test_group_concat_sample_having(graph):
     rows = sparql_query(graph, """SELECT ?s (COUNT(*) AS ?n)
         WHERE { ?s ?p ?o } GROUP BY ?s HAVING(?n >= 3)""").collect()
     assert [(r.s, r.n) for r in rows] == [("http://e/d2", 3)]
+
+
+# ---------------------------------------------------------------------------
+# path expressions: sequence / inverse / alternation / ? quantifier
+
+def test_path_sequence(graph):
+    # d2 references S1.1, S1.1 isPartOf S1
+    rows = sparql_query(graph, """PREFIX dct: <http://purl.org/dc/terms/>
+        SELECT ?x ?y WHERE {
+          ?x dct:references/dct:isPartOf ?y }""").collect()
+    assert [(r.x, r.y) for r in rows] == \
+        [("http://e/d2", "http://e/d1#S1")]
+
+
+def test_path_sequence_with_star(graph):
+    # references then any number of isPartOf hops
+    rows = sparql_query(graph, """PREFIX dct: <http://purl.org/dc/terms/>
+        SELECT ?y WHERE {
+          <http://e/d2> dct:references/dct:isPartOf* ?y }""").collect()
+    assert sorted(r.y for r in rows) == [
+        "http://e/d1", "http://e/d1#S1", "http://e/d1#S1.1"]
+
+
+def test_path_inverse(graph):
+    # ?x ^isPartOf ?y  ==  ?y isPartOf ?x
+    rows = sparql_query(graph, """PREFIX dct: <http://purl.org/dc/terms/>
+        SELECT ?part WHERE { <http://e/d1> ^dct:isPartOf ?part }""").collect()
+    assert [r.part for r in rows] == ["http://e/d1#S1"]
+
+
+def test_path_alternation(graph):
+    rows = sparql_query(graph, """PREFIX dct: <http://purl.org/dc/terms/>
+        SELECT ?s ?o WHERE {
+          ?s (dct:references|dct:isPartOf) ?o }""").collect()
+    assert sorted((r.s, r.o) for r in rows) == [
+        ("http://e/d1#S1", "http://e/d1"),
+        ("http://e/d1#S1.1", "http://e/d1#S1"),
+        ("http://e/d2", "http://e/d1#S1.1")]
+
+
+def test_path_question_quantifier(graph):
+    rows = sparql_query(graph, """PREFIX dct: <http://purl.org/dc/terms/>
+        SELECT ?p WHERE { ?p dct:isPartOf? <http://e/d1> }""").collect()
+    assert sorted(r.p for r in rows) == ["http://e/d1", "http://e/d1#S1"]
+
+
+def test_path_grouped_quantified_alternation(graph):
+    # ((references|isPartOf))+ walks both edge kinds transitively
+    rows = sparql_query(graph, """PREFIX dct: <http://purl.org/dc/terms/>
+        SELECT ?y WHERE {
+          <http://e/d2> (dct:references|dct:isPartOf)+ ?y }""").collect()
+    assert sorted(r.y for r in rows) == [
+        "http://e/d1", "http://e/d1#S1", "http://e/d1#S1.1"]
+
+
+def test_path_inverse_sequence(graph):
+    # children of d1 via inverse, then their titles
+    rows = sparql_query(graph, """PREFIX dct: <http://purl.org/dc/terms/>
+        SELECT ?t WHERE { <http://e/d1> ^dct:isPartOf/dct:title ?t }
+        """).collect()
+    assert [r.t for r in rows] == ["Section 1"]
