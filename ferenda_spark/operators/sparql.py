@@ -51,11 +51,15 @@ general, and lagen.nu), plus the common SELECT forms:
   TRIPLES_COLS), not guessed from the string — and ``lang(?v)`` /
   ``langMatches(lang(?v), "tag"|"*")`` read the same way from the
   schema's ``obj_lang`` column (RFC 4647 basic filtering: exact
-  primary tag or ``tag-`` prefix, ``*`` = any tagged literal)
+  primary tag or ``tag-`` prefix, ``*`` = any tagged literal) — plus
+  ``CONCAT``, ``COALESCE``, ``IF``, ``SUBSTR`` (1-based),
+  regex-based ``REPLACE``, and spec-faithful ``STRBEFORE`` /
+  ``STRAFTER`` ('' when the needle is absent)
 * property paths: quantifiers ``p*`` / ``p+`` / ``p?`` / ``p{m,n}``
   (e.g. the reference's ``dcterms:isPartOf{,1}`` in
   prop-annotations.rq), sequence ``p1/p2``, inverse ``^p``,
-  alternation ``p1|p2`` and parenthesized combinations with
+  alternation ``p1|p2``, negated property sets ``!p`` / ``!(p1|p2)``
+  (forward members only) and parenthesized combinations with
   quantifiers — bounded closure, default depth 3 for the unbounded
   forms (the reference's part trees nest S / S.1 / S.1.1, same bound
   as operators/canonicalize.annotation_closure).  Zero-length paths
@@ -148,12 +152,14 @@ class Pattern:
 
 @dataclass
 class PathElt:
-    """One path element: a predicate IRI or a parenthesized
-    subexpression, optionally inverted and/or quantified."""
+    """One path element: a predicate IRI, a parenthesized
+    subexpression, or a negated property set — optionally inverted
+    and/or quantified."""
     iri: str | None = None
     inverse: bool = False
     quant: tuple[int, int | None] | None = None
     group: "PathAlt | None" = None
+    neg: list | None = None   # !(iri|...) — forward members only
 
 
 @dataclass
@@ -405,6 +411,34 @@ class _Parser:
         if self.peek() == "^":
             self.next()
             inv = True
+        if self.peek() == "!":
+            # negated property set: !iri or !(iri|iri|...), forward
+            # members only (inverse members unsupported)
+            self.next()
+            if inv:
+                raise ValueError(
+                    "sparql: ^! path combination is not supported")
+            iris = []
+            if self.peek() == "(":
+                self.next()
+                while True:
+                    t = self.term()
+                    if t.kind != "iri":
+                        raise ValueError(
+                            "sparql: negated property sets take IRIs")
+                    iris.append(t.value)
+                    if self.peek() == "|":
+                        self.next()
+                        continue
+                    break
+                self.expect(")")
+            else:
+                t = self.term()
+                if t.kind != "iri":
+                    raise ValueError(
+                        "sparql: negated property sets take IRIs")
+                iris.append(t.value)
+            return PathElt(None, False, self._path_quant(), None, iris)
         if self.peek() == "(":
             self.next()
             alt = self._path_alt()
@@ -433,7 +467,7 @@ class _Parser:
     def _pred(self) -> tuple[Term, tuple | None]:
         """The predicate position: a var, a bare (possibly quantified)
         IRI — the fast scan path — or a full path expression."""
-        if self.peek() in ("^", "("):
+        if self.peek() in ("^", "(", "!"):
             return Term("path", self._path_alt()), None
         p = self.term()
         quant = self._path_quant()
@@ -811,7 +845,43 @@ class _ExprCompiler:
             a = self.value()
             self.expect(")")
             return f"{_FUNCS_1[low]}({a})"
+        if low in ("concat", "coalesce"):
+            args = self._args(1, None)
+            return f"{low}({', '.join(args)})"
+        if low == "if":
+            c, a, b = self._args(3, 3)
+            return f"if({c}, {a}, {b})"
+        if low == "substr":
+            # SPARQL SUBSTR is 1-based like SQL substring
+            args = self._args(2, 3)
+            return f"substring({', '.join(args)})"
+        if low == "replace":
+            # SPARQL REPLACE is regex-based
+            a, pat, rep = self._args(3, 3)
+            return f"regexp_replace({a}, {pat}, {rep})"
+        if low in ("strbefore", "strafter"):
+            a, b = self._args(2, 2)
+            if low == "strbefore":
+                # '' when the needle does not occur, per spec
+                return (f"(CASE WHEN instr({a}, {b}) > 0 THEN "
+                        f"substring({a}, 1, instr({a}, {b}) - 1) "
+                        f"ELSE '' END)")
+            return (f"(CASE WHEN instr({a}, {b}) > 0 THEN "
+                    f"substring({a}, instr({a}, {b}) + length({b})) "
+                    f"ELSE '' END)")
         raise ValueError(f"sparql: unsupported FILTER token {t!r}")
+
+    def _args(self, lo: int, hi: int | None) -> list[str]:
+        self.expect("(")
+        args = [self.or_expr()]
+        while self.peek() == ",":
+            self.next()
+            args.append(self.or_expr())
+        self.expect(")")
+        if len(args) < lo or (hi is not None and len(args) > hi):
+            raise ValueError(
+                f"sparql: wrong argument count ({len(args)})")
+        return args
 
 
 def _filter_expr(toks: list[str], cols: set[str]) -> Column:
@@ -971,7 +1041,12 @@ def _edge_closure(edges: DataFrame, lo: int, hi: int) -> DataFrame:
 
 def _elt_edges(triples: DataFrame, elt: PathElt,
                max_path_depth: int) -> DataFrame:
-    if elt.group is not None:
+    if elt.neg is not None:
+        base = (triples.where(~F.col("pred").isin(elt.neg))
+                .select(F.col("subj").alias("_s"),
+                        F.col("obj").alias("_o"))
+                .dropDuplicates())
+    elif elt.group is not None:
         base = _alt_edges(triples, elt.group, max_path_depth)
     else:
         base = (triples.where(F.col("pred") == elt.iri)

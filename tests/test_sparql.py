@@ -638,3 +638,45 @@ def test_path_inverse_sequence(graph):
         SELECT ?t WHERE { <http://e/d1> ^dct:isPartOf/dct:title ?t }
         """).collect()
     assert [r.t for r in rows] == ["Section 1"]
+
+
+def test_negated_property_set(graph):
+    # everything EXCEPT type/title edges = references + isPartOf
+    rows = sparql_query(graph, """PREFIX dct: <http://purl.org/dc/terms/>
+        SELECT ?s ?o WHERE {
+          ?s !(<rdf:type>|dct:title) ?o }""").collect()
+    assert sorted((r.s, r.o) for r in rows) == [
+        ("http://e/d1#S1", "http://e/d1"),
+        ("http://e/d1#S1.1", "http://e/d1#S1"),
+        ("http://e/d2", "http://e/d1#S1.1")]
+    rows = sparql_query(graph, """PREFIX dct: <http://purl.org/dc/terms/>
+        SELECT ?o WHERE { <http://e/d2> !dct:title ?o }""").collect()
+    assert sorted(r.o for r in rows) == \
+        ["foaf:Document", "http://e/d1#S1.1"]
+
+
+def test_expression_functions(graph):
+    rows = sparql_query(graph, """PREFIX dct: <http://purl.org/dc/terms/>
+        SELECT ?d ?c ?sub ?rep ?before ?after ?iff WHERE {
+          ?d dct:title ?t .
+          BIND(CONCAT(?t, "!") AS ?c)
+          BIND(SUBSTR(?t, 1, 3) AS ?sub)
+          BIND(REPLACE(?t, "a", "o") AS ?rep)
+          BIND(STRBEFORE(?d, "#") AS ?before)
+          BIND(STRAFTER(?d, "#") AS ?after)
+          BIND(IF(?t = "Alpha", "first", "rest") AS ?iff)
+          FILTER(strstarts(?t, "Section"))
+        }""").collect()
+    r, = rows
+    assert (r.c, r.sub, r.rep) == ("Section 1!", "Sec", "Section 1")
+    assert (r.before, r.after) == ("http://e/d1", "S1")
+    assert r.iff == "rest"
+    # COALESCE over an OPTIONAL null
+    rows = sparql_query(graph, """PREFIX dct: <http://purl.org/dc/terms/>
+        SELECT ?d ?r2 WHERE {
+          ?d <rdf:type> "foaf:Document" .
+          OPTIONAL { ?d dct:references ?r }
+          BIND(COALESCE(?r, "none") AS ?r2)
+        }""").collect()
+    assert {r.d: r.r2 for r in rows} == {
+        "http://e/d1": "none", "http://e/d2": "http://e/d1#S1.1"}
