@@ -23,13 +23,69 @@ DCT = "http://purl.org/dc/terms/"
 # naive evaluator (pure Python, written against the SPARQL spec subset —
 # intentionally shares NO code with the compiler)
 
+DEPTH = 3
+
+
+def _naive_closure(edges, lo, hi):
+    hi = DEPTH if hi is None else hi
+    by_len = {1: set(edges)}
+    for ln in range(2, hi + 1):
+        by_len[ln] = {(a, d) for (a, b) in by_len[ln - 1]
+                      for (c, d) in edges if b == c}
+    out = set()
+    for ln in range(max(lo, 1), hi + 1):
+        out |= by_len.get(ln, set())
+    if lo == 0:
+        out |= {(n, n) for e in edges for n in e}
+    return out
+
+
+def _naive_elt_edges(triples, elt):
+    if elt.neg is not None:
+        base = {(s, o) for (s, p, o) in triples if p not in elt.neg}
+    elif elt.group is not None:
+        base = _naive_alt_edges(triples, elt.group)
+    else:
+        base = {(s, o) for (s, p, o) in triples if p == elt.iri}
+    if elt.inverse:
+        base = {(o, s) for (s, o) in base}
+    if elt.quant is not None:
+        base = _naive_closure(base, *elt.quant)
+    return base
+
+
+def _naive_alt_edges(triples, alt):
+    out = set()
+    for seq in alt.seqs:
+        acc = None
+        for elt in seq.elts:
+            e = _naive_elt_edges(triples, elt)
+            acc = e if acc is None else {
+                (a, d) for (a, b) in acc for (c, d) in e if b == c}
+        out |= acc
+    return out
+
+
 def _match_pattern(triples, pat, binding):
-    """All extensions of ``binding`` by one triple matching ``pat``."""
+    """All extensions of ``binding`` by one solution of ``pat``."""
     out = []
-    for (s, p, o) in triples:
+    if pat.p.kind == "path" or pat.path is not None:
+        if pat.p.kind == "path":
+            pairs = _naive_alt_edges(triples, pat.p.value)
+        else:
+            edges = {(s, o) for (s, p, o) in triples
+                     if p == pat.p.value}
+            pairs = _naive_closure(edges, *pat.path)
+        cands = [((s, o), ((pat.s, s), (pat.o, o)))
+                 for (s, o) in sorted(pairs)]
+    else:
+        cands = [((s, p, o),
+                  ((pat.s, s), (pat.p, p), (pat.o, o)))
+                 for (s, p, o) in triples]
+    for _, pairs in cands:
         b = dict(binding)
         ok = True
-        for term, val in ((pat.s, s), (pat.p, p), (pat.o, o)):
+        for term, val in pairs:
             if term.kind == "var":
                 if term.value in b and b[term.value] != val:
                     ok = False
@@ -111,6 +167,28 @@ def _eval_group(triples, g):
     for opt in g.optionals:
         osol = _eval_group(triples, opt)
         sol = _left_join(sol, osol)
+    for names, rows in g.values:
+        vsol = [dict(zip(names, r)) for r in rows]
+        sol = _join(sol, vsol) if sol is not None else vsol
+    for positive, eg in g.exists:
+        esol = _eval_group(triples, eg)
+        evars = set().union(*(e.keys() for e in esol)) if esol else set()
+
+        def _matches(lb, evars=evars, esol=esol):
+            shared = [k for k in evars if k in lb]
+            return any(all(lb[k] is not None and lb[k] == rb.get(k)
+                           for k in shared) for rb in esol)
+        sol = [lb for lb in sol if _matches(lb) == positive]
+    for mg in g.minuses:
+        msol = _eval_group(triples, mg)
+        mvars = set().union(*(m.keys() for m in msol)) if msol else set()
+        shared_any = any(k in lb for lb in sol for k in mvars)
+        if shared_any:
+            sol = [lb for lb in sol
+                   if not any(all(lb.get(k) is not None
+                                  and lb.get(k) == rb.get(k)
+                                  for k in mvars if k in lb)
+                              for rb in msol)]
     for ftoks in g.filters:
         sol = [b for b in sol if _eval_filter(ftoks, b)]
     return sol
@@ -156,6 +234,24 @@ QUERY_POOL = [
     """SELECT ?s WHERE { ?s <%(p0)s> ?o . ?s <%(p1)s> ?o }""",
     # DISTINCT projection
     """SELECT DISTINCT ?o WHERE { ?s <%(p0)s> ?o }""",
+    # property paths: closures, sequence, inverse, alternation,
+    # negated set, quantified group
+    """SELECT ?x ?y WHERE { ?x <%(p1)s>* ?y }""",
+    """SELECT ?x WHERE { ?x <%(p1)s>+ <http://e/a> }""",
+    """SELECT ?x ?y WHERE { ?x <%(p0)s>/<%(p1)s> ?y }""",
+    """SELECT ?x ?y WHERE { ?x ^<%(p0)s> ?y }""",
+    """SELECT ?x ?y WHERE { ?x (<%(p0)s>|<%(p1)s>) ?y }""",
+    """SELECT ?x ?y WHERE { ?x !(<%(p0)s>) ?y }""",
+    """SELECT ?x ?y WHERE { ?x (<%(p0)s>|^<%(p1)s>)+ ?y }""",
+    """SELECT ?x ?y WHERE { ?x <%(p0)s>?/<%(p1)s> ?y }""",
+    # EXISTS / NOT EXISTS / MINUS / VALUES
+    """SELECT ?s WHERE { ?s <%(p0)s> ?o .
+       FILTER NOT EXISTS { ?s <%(p1)s> ?t } }""",
+    """SELECT ?s WHERE { ?s <%(p0)s> ?o .
+       FILTER EXISTS { ?s <%(p1)s> ?t } }""",
+    """SELECT ?s ?o WHERE { ?s <%(p0)s> ?o . MINUS { ?s <%(p1)s> "X" } }""",
+    """SELECT ?s ?o WHERE { ?s <%(p0)s> ?o .
+       VALUES ?o { "X" "http://e/a" } }""",
 ]
 
 
