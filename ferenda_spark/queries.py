@@ -2971,6 +2971,26 @@ def q_sparql_filter_select(spark, sf_dir):
     return sparql_query(g, rq)
 
 
+def q_sparql_paths_select(spark, sf_dir):
+    """r5 SPARQL path-EXPRESSION surface: two sequence paths, one with
+    an alternation head (``(dct:references|dct:isPartOf)/dct:isPartOf``
+    — both alternatives are live: #S1.1 reaches the root via isPartOf,
+    referencing docs via references), over the kg part tree — the path
+    algebra annotations queries navigate.  Scale shape: each path
+    element is a pred-filtered scan; a sequence is ONE join of two
+    deduped edge sets, an alternation ONE union — never a driver
+    walk."""
+    from ferenda_spark.operators.sparql import sparql_query
+    g = _kg_graph(spark, sf_dir)
+    rq = f"""
+    PREFIX dct: <{DCT}>
+    SELECT ?part ?root ?child WHERE {{
+      ?part dct:isPartOf/dct:isPartOf ?root .
+      ?child (dct:references|dct:isPartOf)/dct:isPartOf ?root .
+    }}"""
+    return sparql_query(g, rq)
+
+
 def q_sparql_stats_counts(spark, sf_dir):
     """A7 stats twin through the SPARQL surface: GROUP BY aggregate
     (``SELECT ?p (COUNT(*) AS ?n) ... GROUP BY ?p``) compiled to
@@ -3671,6 +3691,38 @@ FROM lift2 l JOIN typed t ON l.subj = t.subj
 WHERE starts_with(l.subj, '{BASE}res/src1')
   AND l.pred IN ('{DCT}language', '{DCT}extent')
   AND NOT l.obj_is_uri
+"""
+
+ORACLE["sparql_paths_select"] = f"""
+WITH docs AS (SELECT '{BASE}res/' || source || '/' || doc_id::VARCHAR
+                AS subj, doc_id FROM documents),
+parts AS (
+  SELECT subj || '#S1' AS part, subj AS parent FROM docs
+  UNION ALL
+  SELECT subj || '#S1.1', subj || '#S1' FROM docs
+),
+refs AS (
+  SELECT a.subj AS s, b.subj || '#S1' AS part
+  FROM docs a JOIN docs b ON b.doc_id = a.doc_id - 7
+  WHERE a.doc_id % 5 = 0
+),
+-- ?part isPartOf/isPartOf ?root (edge sets are deduped, like the
+-- compiler's path algebra)
+seq1 AS (
+  SELECT DISTINCT p1.part AS part, p2.parent AS root
+  FROM parts p1 JOIN parts p2 ON p1.parent = p2.part
+),
+alt_edges AS (
+  SELECT s AS a, part AS b FROM refs
+  UNION
+  SELECT part, parent FROM parts
+),
+seq2 AS (
+  SELECT DISTINCT e.a AS child, p.parent AS root
+  FROM alt_edges e JOIN parts p ON e.b = p.part
+)
+SELECT s1.part, s1.root, s2.child
+FROM seq1 s1 JOIN seq2 s2 ON s2.root = s1.root
 """
 
 ORACLE["sparql_stats_counts"] = f"""
@@ -5008,6 +5060,7 @@ def registry_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_select": q_sparql_select,
         "sparql_stats_counts": q_sparql_stats_counts,
         "sparql_filter_select": q_sparql_filter_select,
+        "sparql_paths_select": q_sparql_paths_select,
         # round-5 window swap: stable set-ops veteran out (its
         # intersect twin was already here)
         "kg_set_diff": q_kg_set_diff,
