@@ -42,6 +42,9 @@ general, and lagen.nu), plus the common SELECT forms:
   outer group removes nothing
 * ``VALUES ?x { ... }`` / ``VALUES (?x ?y) { (a b) ... }`` -> inline
   literal DataFrame joined into the solution (UNDEF not supported)
+* subqueries ``{ SELECT ... WHERE { ... } GROUP BY ... }`` -> the
+  inner SELECT compiles to its own (projected) solution DataFrame and
+  joins the outer group on the shared variables
 * ``FILTER (...)`` with the full expression grammar the templates
   use: ``= != < <= > >= && || !``, parentheses, ``?x IN (iri, ...)``,
   ``regex(?v,"re")``, ``bound(?v)``, ``str(x)``, ``STRSTARTS/STRENDS/
@@ -182,6 +185,7 @@ class Group:
     exists: list = field(default_factory=list)     # [(positive, Group)]
     minuses: list = field(default_factory=list)    # [Group]
     values: list = field(default_factory=list)     # [(varnames, rows)]
+    subselects: list = field(default_factory=list)  # [Query]
 
 
 @dataclass
@@ -279,16 +283,7 @@ class _Parser:
         distinct = False
         template: list[Pattern] = []
         if form == "SELECT":
-            if self.peek() and self.peek().upper() == "DISTINCT":
-                self.next()
-                distinct = True
-            while self.peek() and (self.peek().startswith("?")
-                                   or self.peek() in ("*", "(")):
-                t = self.next()
-                if t == "(":          # (FUNC([DISTINCT] ?v|*) AS ?alias)
-                    aggs.append(self._agg())
-                elif t != "*":
-                    select_vars.append(t[1:])
+            select_vars, aggs, distinct = self._select_head()
             self.expect("WHERE")
         elif form == "CONSTRUCT":
             self.expect("{")
@@ -301,12 +296,34 @@ class _Parser:
         self.expect("{")
         where = self.group()
         self.expect("}")
+        order_by, group_by, limit, offset, having = self._modifiers()
+        return Query(form.lower(), select_vars, distinct, template,
+                     where, order_by, limit, aggs, group_by, offset,
+                     having)
+
+    def _select_head(self) -> tuple[list[str], list[Agg], bool]:
+        select_vars: list[str] = []
+        aggs: list[Agg] = []
+        distinct = False
+        if self.peek() and self.peek().upper() == "DISTINCT":
+            self.next()
+            distinct = True
+        while self.peek() and (self.peek().startswith("?")
+                               or self.peek() in ("*", "(")):
+            t = self.next()
+            if t == "(":          # (FUNC([DISTINCT] ?v|*) AS ?alias)
+                aggs.append(self._agg())
+            elif t != "*":
+                select_vars.append(t[1:])
+        return select_vars, aggs, distinct
+
+    def _modifiers(self, stop: str | None = None):
         order_by: list[tuple[str, bool]] = []
         group_by: list[str] = []
         limit = None
         offset = None
         having: list = []
-        while self.peek():
+        while self.peek() and (stop is None or self.peek() != stop):
             t = self.next().upper()
             if t == "GROUP":
                 self.expect("BY")
@@ -334,9 +351,20 @@ class _Parser:
                 having.append(self._filter_tokens())
             else:
                 raise ValueError(f"sparql: unexpected trailing {t!r}")
-        return Query(form.lower(), select_vars, distinct, template,
-                     where, order_by, limit, aggs, group_by, offset,
-                     having)
+        return order_by, group_by, limit, offset, having
+
+    def _subselect(self) -> Query:
+        """``{ SELECT ... WHERE { ... } GROUP BY ... }`` inside a
+        group — the SELECT token is already consumed."""
+        select_vars, aggs, distinct = self._select_head()
+        if self.peek() and self.peek().upper() == "WHERE":
+            self.next()
+        self.expect("{")
+        where = self.group()
+        self.expect("}")
+        order_by, group_by, limit, offset, having = self._modifiers("}")
+        return Query("select", select_vars, distinct, [], where,
+                     order_by, limit, aggs, group_by, offset, having)
 
     def _agg(self) -> Agg:
         func = self.next().lower()
@@ -567,6 +595,11 @@ class _Parser:
                 self.expect("}")
             elif t == "{":
                 self.next()
+                if self.peek() and self.peek().upper() == "SELECT":
+                    self.next()
+                    g.subselects.append(self._subselect())
+                    self.expect("}")
+                    continue
                 first = self.group()
                 self.expect("}")
                 branches = [first]
@@ -640,6 +673,7 @@ class _Parser:
         g.exists.extend(sub.exists)
         g.minuses.extend(sub.minuses)
         g.values.extend(sub.values)
+        g.subselects.extend(sub.subselects)
 
     def _filter_tokens(self) -> list[str]:
         """Collect the parenthesized token list of a FILTER/BIND,
@@ -900,7 +934,8 @@ def _uses_shadows(g: Group) -> frozenset:
             elif low in ("lang", "langmatches"):
                 kinds.add("lang")
     for sub in (g.optionals + g.minuses + [e[1] for e in g.exists]
-                + [b for bs in g.unions for b in bs]):
+                + [b for bs in g.unions for b in bs]
+                + [q.where for q in g.subselects]):
         kinds |= _uses_shadows(sub)
     return frozenset(kinds)
 
@@ -1201,9 +1236,75 @@ def _values_df(spark, names: list[str], rows: list[tuple]) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def _select_result(sol: DataFrame, ast: Query) -> DataFrame:
+    """Solution -> SELECT result: aggregates, HAVING, projection,
+    DISTINCT, ORDER/OFFSET/LIMIT."""
+    if ast.aggs:
+        exprs = []
+        for a in ast.aggs:
+            if a.func == "count":
+                if a.var is None:
+                    e = F.count(F.lit(1))
+                elif a.distinct:
+                    e = F.count_distinct(F.col(a.var))
+                else:
+                    e = F.count(F.col(a.var))
+                e = e.cast("long")
+            elif a.func == "sample":
+                if a.distinct:
+                    raise ValueError(
+                        "sparql: DISTINCT SAMPLE is meaningless")
+                e = F.first(F.col(a.var), ignorenulls=True)
+            elif a.func == "group_concat":
+                # SPARQL leaves the order unspecified; sort for a
+                # deterministic (and oracle-comparable) result
+                vals = F.collect_set(F.col(a.var)) if a.distinct \
+                    else F.collect_list(F.col(a.var))
+                e = F.array_join(F.array_sort(vals), a.sep)
+            else:
+                if a.distinct:
+                    raise ValueError(
+                        "sparql: DISTINCT only supported in COUNT/"
+                        "GROUP_CONCAT")
+                e = getattr(F, a.func)(F.col(a.var))
+            exprs.append(e.alias(a.alias))
+        grouped = sol.groupBy(*ast.group_by) if ast.group_by \
+            else sol.groupBy()
+        out = grouped.agg(*exprs)
+        for htoks in ast.having:
+            out = out.where(_filter_expr(htoks, set(out.columns)))
+        proj = (ast.select_vars or ast.group_by) + \
+            [a.alias for a in ast.aggs]
+        out = out.select(*proj)
+    else:
+        out = sol.select(*(ast.select_vars
+                           or sorted(_var_cols(sol.columns))))
+        if ast.distinct:
+            out = out.dropDuplicates()
+    if ast.order_by:
+        out = out.orderBy(*[F.col(v).asc() if asc else F.col(v).desc()
+                            for v, asc in ast.order_by])
+    if ast.offset:
+        out = out.offset(ast.offset)
+    if ast.limit is not None:
+        out = out.limit(ast.limit)
+    return out
+
+
 def _compile_group(triples: DataFrame, g: Group, max_path_depth: int,
                    kinds: frozenset) -> DataFrame | None:
     sol = _join_patterns(triples, g.patterns, max_path_depth, kinds)
+    for sq in g.subselects:
+        inner = _compile_group(triples, sq.where, max_path_depth, kinds)
+        if inner is None:
+            raise ValueError("sparql: empty subquery WHERE group")
+        sdf = _select_result(inner, sq)   # projected vars only
+        if sol is None:
+            sol = sdf
+        else:
+            shared = [c for c in sdf.columns if c in sol.columns]
+            sol = sol.join(sdf, on=shared) if shared \
+                else sol.crossJoin(sdf)
     for branches in g.unions:
         dfs = [_compile_group(triples, b, max_path_depth, kinds)
                for b in branches]
@@ -1305,56 +1406,7 @@ def sparql_query(triples: DataFrame, query: str,
                 .agg(F.count(F.lit(1)).alias("n"))
                 .select((F.col("n") > 0).alias("answer")))
     if ast.form == "select":
-        if ast.aggs:
-            exprs = []
-            for a in ast.aggs:
-                if a.func == "count":
-                    if a.var is None:
-                        e = F.count(F.lit(1))
-                    elif a.distinct:
-                        e = F.count_distinct(F.col(a.var))
-                    else:
-                        e = F.count(F.col(a.var))
-                    e = e.cast("long")
-                elif a.func == "sample":
-                    if a.distinct:
-                        raise ValueError(
-                            "sparql: DISTINCT SAMPLE is meaningless")
-                    e = F.first(F.col(a.var), ignorenulls=True)
-                elif a.func == "group_concat":
-                    # SPARQL leaves the order unspecified; sort for a
-                    # deterministic (and oracle-comparable) result
-                    vals = F.collect_set(F.col(a.var)) if a.distinct \
-                        else F.collect_list(F.col(a.var))
-                    e = F.array_join(F.array_sort(vals), a.sep)
-                else:
-                    if a.distinct:
-                        raise ValueError(
-                            "sparql: DISTINCT only supported in COUNT/"
-                            "GROUP_CONCAT")
-                    e = getattr(F, a.func)(F.col(a.var))
-                exprs.append(e.alias(a.alias))
-            grouped = sol.groupBy(*ast.group_by) if ast.group_by \
-                else sol.groupBy()
-            out = grouped.agg(*exprs)
-            for htoks in ast.having:
-                out = out.where(_filter_expr(htoks, set(out.columns)))
-            proj = (ast.select_vars or ast.group_by) + \
-                [a.alias for a in ast.aggs]
-            out = out.select(*proj)
-        else:
-            out = sol.select(*(ast.select_vars
-                               or sorted(_var_cols(sol.columns))))
-            if ast.distinct:
-                out = out.dropDuplicates()
-        if ast.order_by:
-            out = out.orderBy(*[F.col(v).asc() if asc else F.col(v).desc()
-                                for v, asc in ast.order_by])
-        if ast.offset:
-            out = out.offset(ast.offset)
-        if ast.limit is not None:
-            out = out.limit(ast.limit)
-        return out
+        return _select_result(sol, ast)
     # CONSTRUCT: one branch per template pattern
     branches = []
     for pat in ast.template:

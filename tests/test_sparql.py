@@ -680,3 +680,37 @@ def test_expression_functions(graph):
         }""").collect()
     assert {r.d: r.r2 for r in rows} == {
         "http://e/d1": "none", "http://e/d2": "http://e/d1#S1.1"}
+
+
+# ---------------------------------------------------------------------------
+# subqueries
+
+def test_subquery_aggregate_join(graph):
+    # per-subject triple counts computed in a subquery, joined to titles
+    rows = sparql_query(graph, """PREFIX dct: <http://purl.org/dc/terms/>
+        SELECT ?d ?t ?n WHERE {
+          ?d dct:title ?t .
+          { SELECT ?d (COUNT(*) AS ?n) WHERE { ?d ?p ?o } GROUP BY ?d }
+        }""").collect()
+    assert {(r.d, r.t, r.n) for r in rows} == {
+        ("http://e/d1", "Alpha", 2),
+        ("http://e/d2", "Beta", 3),
+        ("http://e/d1#S1", "Section 1", 2)}
+
+
+def test_subquery_limit_restricts_outer(graph):
+    # inner top-1 title (ordered) restricts the outer join
+    rows = sparql_query(graph, """PREFIX dct: <http://purl.org/dc/terms/>
+        SELECT ?d ?t WHERE {
+          ?d dct:title ?t .
+          { SELECT ?t WHERE { ?x dct:title ?t } ORDER BY ?t LIMIT 1 }
+        }""").collect()
+    assert [(r.d, r.t) for r in rows] == [("http://e/d1", "Alpha")]
+
+
+def test_subquery_only_group(graph):
+    row, = sparql_query(graph, """PREFIX dct: <http://purl.org/dc/terms/>
+        SELECT ?n WHERE {
+          { SELECT (COUNT(*) AS ?n) WHERE { ?s ?p ?o } }
+        }""").collect()
+    assert row.n == 8
