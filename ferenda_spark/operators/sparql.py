@@ -23,9 +23,12 @@ general, and lagen.nu), plus the common SELECT forms:
   its values — SPARQL leaves the order unspecified, a deterministic
   result is oracle-comparable)
 * ``CONSTRUCT { template } WHERE { ... }`` -> a (subj, pred, obj)
-  DataFrame (one union branch per template pattern)
+  DataFrame (one union branch per template pattern); the
+  ``CONSTRUCT WHERE { ... }`` shorthand for plain-pattern groups
 * ``ASK { ... }`` -> one boolean ``answer`` row;
-  ``DESCRIBE <uri>...`` -> the IRIs' outbound + inbound triples
+  ``DESCRIBE <uri>... [?v...] [WHERE { ... }]`` -> the targets'
+  outbound + inbound triples (variable targets resolved from the
+  WHERE solution via semi joins, never a driver collect)
 * basic graph patterns joined on shared variables, with
   predicate-object lists (``;``) and object lists (``,``)
 * ``OPTIONAL { ... }`` -> left outer join
@@ -267,15 +270,30 @@ class _Parser:
             self.prefixes[pname.rstrip(":")] = iri[1:-1]
         form = self.next().upper()
         if form == "DESCRIBE":
-            # DESCRIBE <uri>... — no WHERE group needed
-            uris = []
-            while self.peek():
+            # DESCRIBE <uri>... / DESCRIBE ?v WHERE { ... }; variable
+            # targets are stored "?"-prefixed in select_vars
+            targets = []
+            has_var = False
+            while self.peek() and self.peek().upper() != "WHERE":
                 t = self.term()
-                if t.kind != "iri":
-                    raise ValueError("sparql: DESCRIBE takes IRIs")
-                uris.append(t.value)
-            return Query("describe", [u for u in uris], False, [],
-                         Group(), [], None)
+                if t.kind == "var":
+                    targets.append("?" + t.value)
+                    has_var = True
+                elif t.kind == "iri":
+                    targets.append(t.value)
+                else:
+                    raise ValueError(
+                        "sparql: DESCRIBE takes IRIs or variables")
+            where = Group()
+            if self.peek() and self.peek().upper() == "WHERE":
+                self.next()
+                self.expect("{")
+                where = self.group()
+                self.expect("}")
+            elif has_var:
+                raise ValueError(
+                    "sparql: DESCRIBE with variables needs a WHERE group")
+            return Query("describe", targets, False, [], where, [], None)
         if form not in ("SELECT", "CONSTRUCT", "ASK"):
             raise ValueError(f"sparql: unsupported form {form}")
         select_vars: list[str] = []
@@ -286,6 +304,26 @@ class _Parser:
             select_vars, aggs, distinct = self._select_head()
             self.expect("WHERE")
         elif form == "CONSTRUCT":
+            if self.peek() and self.peek().upper() == "WHERE":
+                # CONSTRUCT WHERE { ... } shorthand: the (plain
+                # triple-pattern) group is both template and WHERE
+                self.next()
+                self.expect("{")
+                where = self.group()
+                self.expect("}")
+                if (where.unions or where.optionals or where.filters
+                        or where.binds or where.exists or where.minuses
+                        or where.values or where.subselects
+                        or any(p.path or p.p.kind == "path"
+                               for p in where.patterns)):
+                    raise ValueError(
+                        "sparql: CONSTRUCT WHERE shorthand allows only "
+                        "plain triple patterns")
+                (order_by, group_by, limit,
+                 offset, having) = self._modifiers()
+                return Query("construct", [], False,
+                             list(where.patterns), where, order_by,
+                             limit, [], group_by, offset, having)
             self.expect("{")
             template = self.pattern_list()
             self.expect("}")
@@ -834,6 +872,18 @@ class _ExprCompiler:
             arg = self.value()
             self.expect(")")
             return f"CAST({arg} AS STRING)"
+        if low in ("iri", "uri"):
+            # terms are stored as plain strings; IRI() is the identity
+            arg, = self._args(1, 1)
+            return f"CAST({arg} AS STRING)"
+        if low == "sameterm":
+            a, b = self._args(2, 2)
+            return f"({a} <=> {b})"
+        if low == "isblank":
+            # the engine's triple tables carry no blank nodes (the
+            # reference skolemizes on distill)
+            self._args(1, 1)
+            return "false"
         if low in ("isuri", "isiri"):
             self.expect("(")
             sh = self._shadow(self.next())
@@ -1222,8 +1272,10 @@ def _apply_bind(sol: DataFrame, toks: list[str], var: str,
     expr = _ExprCompiler(toks, set(sol.columns)).compile()
     sol = sol.withColumn(var, F.expr(expr))
     if "isuri" in kinds:
-        # a computed value is a literal unless it is a single IRI token
-        is_iri = len(toks) == 1 and toks[0].startswith("<")
+        # a computed value is a literal unless it is a single IRI
+        # token or an IRI()/URI() constructor call
+        is_iri = (len(toks) == 1 and toks[0].startswith("<")) \
+            or toks[0].lower() in ("iri", "uri")
         sol = sol.withColumn(_SHADOW + var, F.lit(bool(is_iri)))
     if "lang" in kinds:   # computed values carry no language tag
         sol = sol.withColumn(_LANG_SHADOW + var,
@@ -1393,11 +1445,33 @@ def sparql_query(triples: DataFrame, query: str,
             need.append(col)
     t = triples.select(*need)
     if ast.form == "describe":
-        # all triples where the IRI is subject, plus inbound edges
-        uris = ast.select_vars
-        return (t.select(*base)
-                .where(F.col("subj").isin(uris) | F.col("obj").isin(uris))
-                .dropDuplicates())
+        # all triples where the target is subject, plus inbound edges;
+        # variable targets ("?"-prefixed) take their values from the
+        # WHERE solution via semi joins — never a driver collect
+        uris = [v for v in ast.select_vars if not v.startswith("?")]
+        dvars = [v[1:] for v in ast.select_vars if v.startswith("?")]
+        tt = t.select(*base)
+        out = None
+        if uris:
+            out = tt.where(F.col("subj").isin(uris)
+                           | F.col("obj").isin(uris))
+        if dvars:
+            sol = _compile_group(t, ast.where, max_path_depth, kinds)
+            if sol is None:
+                raise ValueError("sparql: empty DESCRIBE WHERE group")
+            nodes = None
+            for v in dvars:
+                nv = sol.select(F.col(v).alias("__n")).dropDuplicates()
+                nodes = nv if nodes is None \
+                    else nodes.unionByName(nv).dropDuplicates()
+            hits = (tt.join(nodes, tt.subj == F.col("__n"), "leftsemi")
+                    .unionByName(
+                        tt.join(nodes, tt.obj == F.col("__n"),
+                                "leftsemi")))
+            out = hits if out is None else out.unionByName(hits)
+        if out is None:
+            raise ValueError("sparql: DESCRIBE needs at least one target")
+        return out.dropDuplicates()
     sol = _compile_group(t, ast.where, max_path_depth, kinds)
     if sol is None:
         raise ValueError("sparql: empty WHERE group")

@@ -714,3 +714,46 @@ def test_subquery_only_group(graph):
           { SELECT (COUNT(*) AS ?n) WHERE { ?s ?p ?o } }
         }""").collect()
     assert row.n == 8
+
+
+# ---------------------------------------------------------------------------
+# CONSTRUCT WHERE shorthand, DESCRIBE ?var, term functions
+
+def test_construct_where_shorthand(graph):
+    got = {(r.subj, r.pred, r.obj) for r in sparql_query(
+        graph, """PREFIX dct: <http://purl.org/dc/terms/>
+        CONSTRUCT WHERE { ?s dct:isPartOf ?o }""").collect()}
+    assert got == {
+        ("http://e/d1#S1", DCT + "isPartOf", "http://e/d1"),
+        ("http://e/d1#S1.1", DCT + "isPartOf", "http://e/d1#S1")}
+    with pytest.raises(ValueError, match="shorthand"):
+        parse_sparql("""CONSTRUCT WHERE {
+            ?s ?p ?o . FILTER(?o != "x") }""")
+
+
+def test_describe_var_where(graph):
+    # describe every resource d2 references: S1.1's full neighborhood
+    rows = {(r.subj, r.pred, r.obj) for r in sparql_query(
+        graph, """PREFIX dct: <http://purl.org/dc/terms/>
+        DESCRIBE ?r WHERE { <http://e/d2> dct:references ?r }""").collect()}
+    assert rows == {
+        ("http://e/d1#S1.1", DCT + "isPartOf", "http://e/d1#S1"),
+        ("http://e/d2", DCT + "references", "http://e/d1#S1.1")}
+    # mixed IRI + var targets union their neighborhoods
+    rows = {r.subj for r in sparql_query(
+        graph, """PREFIX dct: <http://purl.org/dc/terms/>
+        DESCRIBE <http://e/d1> ?r WHERE {
+          <http://e/d2> dct:references ?r }""").collect()}
+    assert rows == {"http://e/d1", "http://e/d1#S1",
+                    "http://e/d1#S1.1", "http://e/d2"}
+
+
+def test_iri_sameterm_isblank(graph):
+    rows = sparql_query(graph, """PREFIX dct: <http://purl.org/dc/terms/>
+        SELECT ?d ?u WHERE {
+          ?d dct:title ?t .
+          BIND(IRI(CONCAT(?d, "/about")) AS ?u)
+          FILTER(sameTerm(?t, "Alpha") && !isBlank(?d))
+        }""").collect()
+    assert [(r.d, r.u) for r in rows] == \
+        [("http://e/d1", "http://e/d1/about")]
