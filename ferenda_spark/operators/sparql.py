@@ -1151,7 +1151,17 @@ def _elt_edges(triples: DataFrame, elt: PathElt,
 def _alt_edges(triples: DataFrame, alt: PathAlt,
                max_path_depth: int) -> DataFrame:
     """A path expression -> its (_s, _o) edge DataFrame: sequences are
-    chained joins (_o -> _s), alternatives union."""
+    chained joins (_o -> _s), alternatives union.  An alternation of
+    plain forward predicates collapses to ONE isin-filtered scan
+    instead of per-branch scans + union."""
+    plain = [s.elts[0].iri for s in alt.seqs
+             if len(s.elts) == 1 and s.elts[0].iri is not None
+             and not s.elts[0].inverse and s.elts[0].quant is None]
+    if len(alt.seqs) > 1 and len(plain) == len(alt.seqs):
+        return (triples.where(F.col("pred").isin(plain))
+                .select(F.col("subj").alias("_s"),
+                        F.col("obj").alias("_o"))
+                .dropDuplicates())
     seq_dfs = []
     for seq in alt.seqs:
         df = None
