@@ -59,8 +59,12 @@ general, and lagen.nu), plus the common SELECT forms:
   schema's ``obj_lang`` column (RFC 4647 basic filtering: exact
   primary tag or ``tag-`` prefix, ``*`` = any tagged literal) — plus
   ``CONCAT``, ``COALESCE``, ``IF``, ``SUBSTR`` (1-based),
-  regex-based ``REPLACE``, and spec-faithful ``STRBEFORE`` /
-  ``STRAFTER`` ('' when the needle is absent)
+  regex-based ``REPLACE``, spec-faithful ``STRBEFORE`` /
+  ``STRAFTER`` ('' when the needle is absent), ``IRI()/URI()``,
+  ``sameTerm``, ``isBlank``, arithmetic ``+ - * /`` with the usual
+  precedence, and ``xsd:`` constructor casts compiled as
+  ``try_cast`` (a SPARQL type error is NULL -> filter-false, never
+  an ANSI runtime abort on dirty data)
 * property paths: quantifiers ``p*`` / ``p+`` / ``p?`` / ``p{m,n}``
   (e.g. the reference's ``dcterms:isPartOf{,1}`` in
   prop-annotations.rq), sequence ``p1/p2``, inverse ``^p``,
@@ -114,7 +118,7 @@ _TOKEN_RE = re.compile(
         |FILTER|BIND|GRAPH|DISTINCT|ORDER|BY|LIMIT|OFFSET|ASC|DESC|a)
         (?![A-Za-z0-9_]))
     | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)   # FILTER function names, AS, IN
-    | (?P<punct>&&|\|\||!=|<=|>=|[{}().;,*+=<>!/^?|])
+    | (?P<punct>&&|\|\||!=|<=|>=|[{}().;,*+=<>!/^?|-])
     )""",
     re.X | re.I)
 
@@ -745,6 +749,13 @@ _FUNCS_2 = {"strstarts": "startswith", "strends": "endswith",
             "contains": "contains"}
 _FUNCS_1 = {"lcase": "lower", "ucase": "upper", "strlen": "length"}
 _CMP_OPS = ("=", "!=", "<", "<=", ">", ">=")
+_XSD = "http://www.w3.org/2001/XMLSchema#"
+_XSD_CASTS = {"integer": "BIGINT", "int": "BIGINT", "long": "BIGINT",
+              "short": "BIGINT", "byte": "BIGINT",
+              "nonNegativeInteger": "BIGINT",
+              "decimal": "DOUBLE", "double": "DOUBLE", "float": "DOUBLE",
+              "string": "STRING", "boolean": "BOOLEAN",
+              "date": "DATE", "dateTime": "TIMESTAMP"}
 
 
 class _ExprCompiler:
@@ -804,21 +815,42 @@ class _ExprCompiler:
         return self.rel_expr()
 
     def rel_expr(self) -> str:
-        left = self.value()
+        left = self.add_expr()
         t = self.peek()
         if t in _CMP_OPS:
             self.next()
-            return f"{left} {t} {self.value()}"
+            return f"{left} {t} {self.add_expr()}"
         if t is not None and t.upper() == "IN":
             self.next()
             self.expect("(")
-            items = [self.value()]
+            items = [self.add_expr()]
             while self.peek() == ",":
                 self.next()
-                items.append(self.value())
+                items.append(self.add_expr())
             self.expect(")")
             return f"{left} IN ({', '.join(items)})"
         return left
+
+    def add_expr(self) -> str:
+        out = self.mul_expr()
+        while True:
+            t = self.peek()
+            if t in ("+", "-"):
+                self.next()
+                out = f"({out} {t} {self.mul_expr()})"
+            elif t is not None and re.fullmatch(r"-\d+(\.\d+)?", t):
+                # '10 -3' tokenizes the 3 as a negative number
+                self.next()
+                out = f"({out} - {t[1:]})"
+            else:
+                return out
+
+    def mul_expr(self) -> str:
+        out = self.value()
+        while self.peek() in ("*", "/"):
+            op = self.next()
+            out = f"({out} {op} {self.value()})"
+        return out
 
     def _var_col(self, t: str) -> str:
         v = t[1:]
@@ -851,8 +883,20 @@ class _ExprCompiler:
         if t.startswith('"'):
             return "'" + t[1:-1].replace("\\\\", "\\").replace('\\"', '"') \
                 .replace("'", "''") + "'"
-        if t.startswith("<"):   # IRIs are stored as plain strings
-            return "'" + t[1:-1].replace("'", "''") + "'"
+        if t.startswith("<"):
+            iri = t[1:-1]
+            # xsd constructor casts: try_cast, so a SPARQL type error
+            # yields NULL (filter-false) instead of an ANSI runtime
+            # abort on dirty data
+            if iri.startswith(_XSD) and self.peek() == "(":
+                sql_type = _XSD_CASTS.get(iri[len(_XSD):])
+                if sql_type is None:
+                    raise ValueError(
+                        f"sparql: unsupported xsd cast {iri!r}")
+                arg, = self._args(1, 1)
+                return f"try_cast({arg} AS {sql_type})"
+            # otherwise IRIs are plain string terms
+            return "'" + iri.replace("'", "''") + "'"
         if re.fullmatch(r"-?\d+(\.\d+)?", t):
             return t
         if low == "regex":

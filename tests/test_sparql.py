@@ -757,3 +757,23 @@ def test_iri_sameterm_isblank(graph):
         }""").collect()
     assert [(r.d, r.u) for r in rows] == \
         [("http://e/d1", "http://e/d1/about")]
+
+
+def test_arithmetic_and_xsd_casts(graph):
+    rows = sparql_query(graph, """PREFIX dct: <http://purl.org/dc/terms/>
+        PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        SELECT DISTINCT ?n ?m WHERE {
+          ?d dct:title ?t .
+          BIND(xsd:integer("40") + 2 * 5 AS ?n)
+          BIND(10 - 3 AS ?m)
+          FILTER(?n = 50 && ?m = 7 && (2 + 3) * 4 = 20)
+        }""").collect()
+    assert [(r.n, r.m) for r in rows] == [(50, 7)]
+    # a failed cast is NULL -> filter-false, not a runtime abort
+    rows = sparql_query(graph, """PREFIX dct: <http://purl.org/dc/terms/>
+        PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        SELECT ?t WHERE {
+          ?d dct:title ?t .
+          FILTER(xsd:integer(?t) > 0)
+        }""").collect()
+    assert rows == []   # no title parses as an integer
