@@ -777,3 +777,15 @@ def test_arithmetic_and_xsd_casts(graph):
           FILTER(xsd:integer(?t) > 0)
         }""").collect()
     assert rows == []   # no title parses as an integer
+
+
+def test_plan_pin_alternation_single_scan(graph):
+    # (a|b) over plain predicates must compile to ONE isin-filtered
+    # scan, not per-branch scans + union
+    df = sparql_query(graph, """PREFIX dct: <http://purl.org/dc/terms/>
+        SELECT ?s ?o WHERE { ?s (dct:references|dct:isPartOf) ?o }""")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" not in plan
+    assert plan.lower().count("pred") >= 1   # the isin filter survives
+    rows = {(r.s, r.o) for r in df.collect()}
+    assert len(rows) == 3
